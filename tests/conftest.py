@@ -1,0 +1,16 @@
+"""Test harness: run everything on CPU with 8 virtual devices so the
+data-parallel / sharded paths (psum, shard_map, mesh shardings) execute in CI
+without TPU hardware — the strategy SURVEY.md section 4 prescribes."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

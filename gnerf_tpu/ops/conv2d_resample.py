@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .precision import dot_precision
 from .upfirdn2d import _parse_padding, _get_filter_size, upfirdn2d
 
 
@@ -49,7 +50,7 @@ def _conv2d(
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
-        precision=lax.Precision.HIGHEST,
+        precision=dot_precision(x.dtype),
     )
 
 

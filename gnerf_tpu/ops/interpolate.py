@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .precision import dot_precision
+
 
 @functools.lru_cache(maxsize=None)
 def _resize_weights(in_size: int, out_size: int, antialias: bool) -> np.ndarray:
@@ -59,7 +61,8 @@ def interpolate_bilinear(
         return x
     mh = jnp.asarray(_resize_weights(H, out_h, antialias), dtype=x.dtype)
     mw = jnp.asarray(_resize_weights(W, out_w, antialias), dtype=x.dtype)
+    prec = dot_precision(x.dtype)
     # Rows then columns; both contractions hit the MXU.
-    x = jnp.einsum("oh,nchw->ncow", mh, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("pw,ncow->ncop", mw, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("oh,nchw->ncow", mh, x, precision=prec)
+    x = jnp.einsum("pw,ncow->ncop", mw, x, precision=prec)
     return x

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from .precision import dot_precision
+
 Filter = Optional[jax.Array]
 
 
@@ -135,7 +137,7 @@ def _fir_conv(
         rhs_dilation=(1, 1),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=num_channels,
-        precision=lax.Precision.HIGHEST,
+        precision=dot_precision(x.dtype),
     )
 
 

@@ -1,0 +1,184 @@
+"""Two-pass hierarchical tri-plane volume renderer.
+
+JAX/TPU re-derivation of the reference ImportanceRenderer
+(`/root/reference/g_nerf/training/volumetric_rendering/renderer.py:82-167`):
+stratified coarse pass -> march for weights -> inverse-CDF fine pass ->
+depth-sorted merge -> final march. Functionally pure: plane features, a
+decoder callable, rays, options and an RNG key in; composited features,
+depth and weight-sum out. Everything is static-shaped so the whole renderer
+jits into one XLA program; the sort-merge (`unify_samples`) stays an XLA
+sort + take_along_axis.
+
+The tri-plane projection uses the EG3D-corrected orthogonal basis
+(reference `generate_planes`, `renderer.py:23-37`): a point (x, y, z) in the
+box projects to plane UVs (x, y), (x, z), (z, x) — derived by inverting the
+reference's plane-axis matrices, then hardcoded here (no 3x3 bmm needed).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid_sample import grid_sample_2d
+from . import math_utils
+from .importance import sample_importance, sample_stratified
+from .ray_marcher import march_rays
+
+# decoder(sampled_features [N, 3, M, C], directions [N, M, 3]) ->
+#   {'rgb': [N, M, C_out], 'sigma': [N, M, 1]}
+Decoder = Callable[[jax.Array, jax.Array], Mapping[str, jax.Array]]
+
+
+def project_onto_planes(coordinates: jax.Array) -> jax.Array:
+    """[N, M, 3] box coords -> [N, 3, M, 2] per-plane UVs (x indexes W)."""
+    x, y, z = coordinates[..., 0], coordinates[..., 1], coordinates[..., 2]
+    uv0 = jnp.stack([x, y], axis=-1)
+    uv1 = jnp.stack([x, z], axis=-1)
+    uv2 = jnp.stack([z, x], axis=-1)
+    return jnp.stack([uv0, uv1, uv2], axis=1)
+
+
+def sample_from_planes(
+    plane_features: jax.Array,
+    coordinates: jax.Array,
+    box_warp: float,
+) -> jax.Array:
+    """Bilinearly sample the three feature planes at 3D points.
+
+    Args:
+      plane_features: [N, 3, C, H, W].
+      coordinates:    [N, M, 3] world coords inside the box.
+      box_warp:       side length of the tri-plane box.
+
+    Returns:
+      [N, 3, M, C] per-plane features (zeros outside the box).
+    """
+    N, n_planes, C, H, W = plane_features.shape
+    M = coordinates.shape[1]
+    coords = (2.0 / box_warp) * coordinates
+    uv = project_onto_planes(coords).reshape(N * n_planes, M, 2)
+    feats = plane_features.reshape(N * n_planes, C, H, W)
+    out = grid_sample_2d(feats, uv)  # [N*3, M, C]
+    return out.reshape(N, n_planes, M, C)
+
+
+def run_model(
+    plane_features: jax.Array,
+    decoder: Decoder,
+    sample_coordinates: jax.Array,
+    sample_directions: jax.Array,
+    options: Mapping[str, Any],
+    rng: Optional[jax.Array] = None,
+) -> Mapping[str, jax.Array]:
+    """Tri-plane lookup + decoder MLP at arbitrary 3D points."""
+    feats = sample_from_planes(
+        plane_features, sample_coordinates, box_warp=options["box_warp"]
+    )
+    out = dict(decoder(feats, sample_directions))
+    noise = options.get("density_noise", 0)
+    if noise > 0 and rng is not None:
+        out["sigma"] = out["sigma"] + jax.random.normal(rng, out["sigma"].shape) * noise
+    return out
+
+
+def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
+    """Concatenate coarse+fine samples and sort by depth along the sample axis."""
+    all_depths = jnp.concatenate([depths1, depths2], axis=-2)
+    all_colors = jnp.concatenate([colors1, colors2], axis=-2)
+    all_densities = jnp.concatenate([densities1, densities2], axis=-2)
+    idx = jnp.argsort(all_depths, axis=-2)
+    all_depths = jnp.take_along_axis(all_depths, idx, axis=-2)
+    all_colors = jnp.take_along_axis(all_colors, idx, axis=-2)
+    all_densities = jnp.take_along_axis(all_densities, idx, axis=-2)
+    return all_depths, all_colors, all_densities
+
+
+def render_rays(
+    plane_features: jax.Array,
+    decoder: Decoder,
+    ray_origins: jax.Array,
+    ray_directions: jax.Array,
+    options: Mapping[str, Any],
+    rng: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Full two-pass hierarchical render.
+
+    Args:
+      plane_features: [N, 3, C, H, W] tri-planes from the backbone.
+      decoder:        the point decoder callable.
+      ray_origins / ray_directions: [N, R, 3].
+      options: rendering kwargs (depth_resolution, depth_resolution_importance,
+               ray_start/ray_end ('auto' or floats), box_warp, white_back,
+               disparity_space_sampling, density_noise, clamp_mode).
+      rng: optional PRNG key for stratified jitter / importance draws /
+           density noise; None -> fully deterministic sampling.
+
+    Returns:
+      (features [N, R, C_out], depth [N, R, 1], weight_sum [N, R, 1]).
+    """
+    keys = (
+        jax.random.split(rng, 4) if rng is not None else (None, None, None, None)
+    )
+
+    if options["ray_start"] == options["ray_end"] == "auto":
+        ray_start, ray_end = math_utils.get_ray_limits_box(
+            ray_origins, ray_directions, box_side_length=options["box_warp"]
+        )
+        is_valid = ray_end > ray_start
+        # Branchless version of the reference fix-up: invalid rays get
+        # (min, max) of the valid ray starts.
+        big = jnp.inf
+        vmin = jnp.min(jnp.where(is_valid, ray_start, big))
+        vmax = jnp.max(jnp.where(is_valid, ray_start, -big))
+        ray_start = jnp.where(is_valid, ray_start, vmin)
+        ray_end = jnp.where(is_valid, ray_end, vmax)
+    else:
+        ray_start, ray_end = options["ray_start"], options["ray_end"]
+
+    depths_coarse = sample_stratified(
+        keys[0],
+        ray_origins,
+        ray_start,
+        ray_end,
+        options["depth_resolution"],
+        options.get("disparity_space_sampling", False),
+    )
+    N, R, S, _ = depths_coarse.shape
+
+    def eval_points(depths, key):
+        pts = (
+            ray_origins[:, :, None, :] + depths * ray_directions[:, :, None, :]
+        ).reshape(N, -1, 3)
+        dirs = jnp.broadcast_to(
+            ray_directions[:, :, None, :], (N, R, depths.shape[2], 3)
+        ).reshape(N, -1, 3)
+        out = run_model(plane_features, decoder, pts, dirs, options, key)
+        colors = out["rgb"].reshape(N, R, depths.shape[2], -1)
+        densities = out["sigma"].reshape(N, R, depths.shape[2], 1)
+        return colors, densities
+
+    colors_coarse, densities_coarse = eval_points(depths_coarse, keys[1])
+
+    n_imp = options["depth_resolution_importance"]
+    if n_imp > 0:
+        _, _, weights = march_rays(
+            colors_coarse, densities_coarse, depths_coarse, options
+        )
+        depths_fine = sample_importance(keys[2], depths_coarse, weights, n_imp)
+        colors_fine, densities_fine = eval_points(depths_fine, keys[3])
+        all_depths, all_colors, all_densities = unify_samples(
+            depths_coarse, colors_coarse, densities_coarse,
+            depths_fine, colors_fine, densities_fine,
+        )
+        rgb_final, depth_final, weights = march_rays(
+            all_colors, all_densities, all_depths, options
+        )
+    else:
+        rgb_final, depth_final, weights = march_rays(
+            colors_coarse, densities_coarse, depths_coarse, options
+        )
+
+    return rgb_final, depth_final, jnp.sum(weights, axis=2)

@@ -1,0 +1,50 @@
+"""Stdout/stderr tee logger (equivalent of reference dnnlib.util.Logger)."""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+
+class Logger:
+    """Tees writes to stdout into a log file. Use as a context manager or
+    call close() explicitly."""
+
+    def __init__(self, file_name: Optional[str] = None, mode: str = "a",
+                 should_flush: bool = True):
+        self.file = open(file_name, mode) if file_name else None
+        self.should_flush = should_flush
+        self.stdout = sys.stdout
+        self.stderr = sys.stderr
+        sys.stdout = self
+        sys.stderr = self
+
+    def write(self, text: str) -> None:
+        if len(text) == 0:
+            return
+        if self.file is not None:
+            self.file.write(text)
+        self.stdout.write(text)
+        if self.should_flush:
+            self.flush()
+
+    def flush(self) -> None:
+        if self.file is not None:
+            self.file.flush()
+        self.stdout.flush()
+
+    def close(self) -> None:
+        self.flush()
+        if sys.stdout is self:
+            sys.stdout = self.stdout
+        if sys.stderr is self:
+            sys.stderr = self.stderr
+        if self.file is not None:
+            self.file.close()
+            self.file = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

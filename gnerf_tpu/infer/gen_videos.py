@@ -1,0 +1,198 @@
+"""Single-image -> pose-swept novel-view video (the flagship workload).
+
+Capability equivalent of the reference CLI
+(`/root/reference/g_nerf/gen_videos.py`): encode one (or a folder of) face
+image(s) with E, map to ws, sweep a camera orbit, and write `<name>.mp4` +
+`<name>_raw.mp4` (+ optional sigma-grid shape export).
+
+TPU-native pipeline design: mapping + tri-plane backbone run ONCE per
+identity (the functional form of the reference's plane cache), the
+per-frame render+SR step is a single jitted program reused across all
+frames, and identities are batched along the leading axis. Sampling density
+is doubled at load exactly like the reference (`gen_videos.py:127-128`).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Optional
+
+import click
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _load_images(id_image: Optional[str], prepared: Optional[str]) -> np.ndarray:
+    from PIL import Image
+
+    if prepared:
+        paths = sorted(
+            os.path.join(prepared, f)
+            for f in os.listdir(prepared)
+            if f.endswith(".jpg") or f.endswith(".png")
+        )
+    else:
+        paths = [id_image]
+    imgs = []
+    for p in paths:
+        img = np.asarray(Image.open(p).convert("RGB"))
+        imgs.append(img.transpose(2, 0, 1)[None])
+    return np.concatenate(imgs, axis=0)
+
+
+def orbit_label(i: int, frame_num: int, dataset: str, rendering_kwargs,
+                id_image: str = ""):
+    """Frame i's 25-dim camera label on the reference's orbit
+    (`gen_videos.py:154-170`)."""
+    from ..utils import camera
+
+    if dataset == "shapenet":
+        yaw = 2 * math.pi * i / (frame_num - 1)
+        pitch = math.pi / 3
+        radius = 1.3 if "cars" in id_image else 2.0
+        c2w = camera.lookat_sample_srn(yaw, pitch, radius=radius)
+        intr = camera.SHAPENET_INTRINSICS
+    else:
+        pitch_range, yaw_range = 0.3, 0.7
+        c2w = camera.lookat_sample(
+            3.14 / 2 + yaw_range * np.sin(2 * 3.14 * i / frame_num),
+            3.14 / 2 - 0.05 + pitch_range * np.cos(2 * 3.14 * i / frame_num),
+            radius=rendering_kwargs["avg_camera_radius"],
+        )
+        intr = camera.FFHQ_INTRINSICS
+    return camera.pose_to_label(c2w, intr)
+
+
+def to_uint8(img: np.ndarray) -> np.ndarray:
+    """[-1,1] NCHW float -> NHWC uint8 (reference `gen_videos.py:173`)."""
+    img = np.asarray(img) * 127.5 + 128
+    return np.clip(img, 0, 255).astype(np.uint8).transpose(0, 2, 3, 1)
+
+
+def normalize_depth(depth: np.ndarray) -> np.ndarray:
+    hi, lo = depth.max(), depth.min()
+    d = (depth - lo) * (255 / max(hi - lo, 1e-8))
+    return np.clip(d, 0, 255).astype(np.uint8)
+
+
+def generate_videos(
+    network: Optional[str],
+    id_image: Optional[str] = None,
+    prepared: Optional[str] = None,
+    video_out_path: str = "video_results/",
+    outdir: str = "video_results/",
+    res: int = 64,
+    frames: int = 120,
+    dataset: str = "ffhq",
+    gen_shapes: bool = False,
+    seed_init: Optional[int] = None,
+    shape_res: int = 512,
+    truncation_psi: float = 1.0,
+):
+    from ..models import ResNeXt50Encoder, TriPlaneGenerator
+    from ..utils import checkpoint as ckpt
+
+    id_images = _load_images(id_image, prepared)
+    n_ids = id_images.shape[0]
+
+    # --- load or init networks ------------------------------------------------
+    if network:
+        trees, config = ckpt.load_checkpoint(network)
+        g = TriPlaneGenerator(**(config.get("generator", {}) if config else {}))
+        enc = ResNeXt50Encoder(out_dim=g.z_dim)
+        params_g = trees["G_ema"]
+        params_e = trees["E"]
+        state_e = trees.get("E_state")
+        if state_e is None:
+            _, state_e = enc.init(jax.random.PRNGKey(0))
+    else:
+        assert seed_init is not None, "--network or --seed-init required"
+        g = TriPlaneGenerator()
+        enc = ResNeXt50Encoder(out_dim=g.z_dim)
+        params_g = g.init(jax.random.PRNGKey(seed_init))
+        params_e, state_e = enc.init(jax.random.PRNGKey(seed_init + 1))
+
+    # Double the sampling density at inference, as the reference does.
+    rk = dict(g.rendering_kwargs)
+    rk["depth_resolution"] = int(rk["depth_resolution"] * 2)
+    rk["depth_resolution_importance"] = int(rk["depth_resolution_importance"] * 2)
+    import dataclasses
+
+    g = dataclasses.replace(g, rendering_kwargs=rk)
+
+    # --- identity-level compute (once) ---------------------------------------
+    imgs = jnp.asarray(id_images, jnp.float32) / 127.5 - 1.0
+
+    @jax.jit
+    def encode_and_prepare(params_e, state_e, params_g, imgs):
+        z, _ = enc.apply(params_e, state_e, imgs, train=False)
+        c0 = jnp.zeros((z.shape[0], 25))
+        ws = g.mapping(params_g, z, c0, truncation_psi=truncation_psi)
+        planes = g.backbone_planes(params_g, ws, noise_mode="const")
+        return ws, planes
+
+    ws, planes = encode_and_prepare(params_e, state_e, params_g, imgs)
+
+    @jax.jit
+    def render_frame(params_g, planes, ws, c):
+        return g.render_planes(
+            params_g, planes, c, ws, neural_rendering_resolution=res,
+            noise_mode="const",
+        )
+
+    # --- video loop ----------------------------------------------------------
+    name = os.path.basename(prepared or id_image).split(".")[0]
+    os.makedirs(video_out_path, exist_ok=True)
+    from .video_io import VideoWriter
+
+    writer = VideoWriter(os.path.join(video_out_path, name + ".mp4"), fps=30)
+    writer_raw = VideoWriter(os.path.join(video_out_path, name + "_raw.mp4"), fps=30)
+    for i in range(frames):
+        c = orbit_label(i, frames, dataset, rk, id_image or "")
+        c = jnp.tile(c, (n_ids, 1))
+        out = render_frame(params_g, planes, ws, c)
+        img = to_uint8(out["image"])
+        img_raw = to_uint8(out["image_raw"])
+        writer.append_data(np.concatenate(list(img), axis=1))
+        writer_raw.append_data(np.concatenate(list(img_raw), axis=1))
+    writer.close()
+    writer_raw.close()
+    print(f"wrote {writer.output_path} ({frames} frames)")
+
+    # --- optional shape extraction -------------------------------------------
+    if gen_shapes:
+        from .shape_utils import extract_sigma_grid, write_mrc
+
+        sigmas = extract_sigma_grid(
+            g, params_g, ws[:1], voxel_resolution=shape_res,
+            cube_length=rk["box_warp"],
+        )
+        os.makedirs(os.path.join(outdir, name), exist_ok=True)
+        mrc_path = os.path.join(outdir, name, f"{frames - 1}.mrc")
+        write_mrc(mrc_path, sigmas)
+        print(f"wrote {mrc_path}")
+
+
+@click.command()
+@click.option("--network", "network", help="Checkpoint (.npz)", default=None)
+@click.option("--id_image", "id_image", help="Identity reference image", default=None)
+@click.option("--prepared", "prepared", help="Folder of identity images", default=None)
+@click.option("--gen_shapes", "gen_shapes", type=bool, default=False)
+@click.option("--video_out_path", type=str, default="video_results/")
+@click.option("--outdir", type=str, default="video_results/")
+@click.option("--res", type=int, default=64, help="Neural render resolution")
+@click.option("--frames", type=int, default=120)
+@click.option("--dataset", type=str, default="ffhq")
+@click.option("--seed-init", "seed_init", type=int, default=None,
+              help="Random-init networks instead of loading a checkpoint")
+@click.option("--shape-res", "shape_res", type=int, default=512)
+def main(**kwargs):
+    generate_videos(**kwargs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,300 @@
+"""Datasets: paired condition/loss views + depth maps + pose labels.
+
+Capability equivalent of the reference dataset layer
+(`/root/reference/g_nerf/training/dataset.py`), minus its defects: the
+hardcoded machine-specific paths (`dataset.py:954,1123,1403`) become
+constructor arguments, and the talking-head leftovers are dropped.
+
+Layouts (identical on-disk conventions to the reference so existing data
+works unchanged):
+
+  FFHQGenDataset  — mixes (a) EG3D-synthesized identity pairs: per-id dirs
+    with `<id>_f.jpg` (condition view) / `<id>_s.jpg` (loss view),
+    `pose_labels.json` mapping `<name>.json` -> 25-dim label, and
+    `depth_images.npy` (dict name -> [1, H, W] depth); with (b) real FFHQ
+    crops: `cropped_image/*.jpg` + `label/labels.json`. 50/50 mix per item;
+    real items randomly get an angle-swap with factor=0 masking the recon
+    loss (reference `dataset.py:1072-1083`).
+  TestDataset     — held-out real crops (the last `held_out` files).
+  SyntheticDataset — procedurally generated batches with valid orbit poses,
+    for smoke tests and benchmarks (no files needed).
+
+All loaders are host-side (numpy); `data_iterator` shards indices across
+hosts via InfiniteSampler and prefetches batches on a thread — the
+DataLoader/InfiniteSampler pairing of the reference
+(`training_loop.py:154-157`), without torch.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import queue
+import threading
+from typing import Any, Iterator, Mapping, Optional
+
+import numpy as np
+
+from ..utils.misc import InfiniteSampler
+
+BatchDict = Mapping[str, np.ndarray]
+
+
+def _imread_rgb_chw(path: str) -> np.ndarray:
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"))
+    return img.transpose(2, 0, 1)  # HWC -> CHW uint8
+
+
+class FFHQGenDataset:
+    """Paired synth + real FFHQ training set (reference FFHQ_GEN_Dataset,
+    `dataset.py:945-1112`)."""
+
+    ITEM_KEYS = (
+        "condition_image", "condition_c", "loss_image", "loss_c",
+        "random_image", "random_c", "c_depth_image", "l_depth_image",
+        "flip_image", "factor",
+    )
+
+    def __init__(
+        self,
+        path: str,                       # synthesized-pairs root
+        real_path: Optional[str] = None, # FFHQ-in-the-wild root
+        resolution: int = 512,
+        max_size: Optional[int] = 60000,
+        max_gen: int = 6000,
+        held_out: int = 8000,
+        seed: int = 0,
+    ):
+        self.resolution = resolution
+        self._rnd = np.random.RandomState(seed)
+
+        self._gen_fnames = []
+        for entry in sorted(os.scandir(path), key=lambda e: e.name):
+            cand = os.path.join(path, entry.name, entry.name + "_f.jpg")
+            if os.path.isfile(cand):
+                self._gen_fnames.append(cand)
+        self._gen_fnames = self._gen_fnames[:max_gen]
+        if not self._gen_fnames:
+            raise IOError(f"No synthesized pairs found under {path}")
+        with open(os.path.join(path, "pose_labels.json")) as f:
+            self._pose_labels = json.load(f)
+        self._depth_images = np.load(
+            os.path.join(path, "depth_images.npy"), allow_pickle=True
+        ).item()
+
+        self._real_fnames = []
+        self._real_labels = {}
+        if real_path is not None and os.path.isdir(real_path):
+            self._real_fnames = sorted(
+                glob.glob(os.path.join(real_path, "cropped_image", "*.jpg"))
+            )[:-held_out]
+            with open(os.path.join(real_path, "label", "labels.json")) as f:
+                self._real_labels = json.load(f)
+        if max_size is not None:
+            self._real_fnames = self._real_fnames[:max_size]
+
+        self._size = max(len(self._real_fnames), len(self._gen_fnames))
+
+    def __len__(self) -> int:
+        return self._size
+
+    @property
+    def label_dim(self) -> int:
+        return 25
+
+    def _pose(self, fname: str, suffix_swap: Optional[tuple[str, str]] = None):
+        key = os.path.basename(fname).replace(".jpg", ".json")
+        if suffix_swap:
+            key = key.replace(*suffix_swap)
+        return np.asarray(self._pose_labels[key], dtype=np.float32)
+
+    def _depth(self, fname: str, suffix_swap: Optional[tuple[str, str]] = None):
+        key = os.path.basename(fname).replace(".jpg", "")
+        if suffix_swap:
+            key = key.replace(*suffix_swap)
+        return np.asarray(self._depth_images[key], dtype=np.float32)
+
+    def _load_gen(self, idx: int) -> dict:
+        fname = self._gen_fnames[idx % len(self._gen_fnames)]
+        cond = _imread_rgb_chw(fname)
+        loss = _imread_rgb_chw(fname.replace("f.jpg", "s.jpg"))
+        flip = loss[:, :, ::-1].copy()
+        rnd_idx = self._rnd.randint(len(self._gen_fnames))
+        rnd = _imread_rgb_chw(self._gen_fnames[rnd_idx])
+        return {
+            "condition_image": cond,
+            "condition_c": self._pose(fname),
+            "loss_image": loss,
+            "loss_c": self._pose(fname, ("f", "s")),
+            "random_image": rnd,
+            "random_c": self._pose(self._gen_fnames[rnd_idx]),
+            "c_depth_image": self._depth(fname),
+            "l_depth_image": self._depth(fname, ("f", "s")),
+            "flip_image": flip,
+            "factor": np.float32(1.0),
+        }
+
+    def _real_label(self, fname: str):
+        key = os.path.basename(fname).replace(".jpg", ".png")
+        return np.asarray(self._real_labels[key], dtype=np.float32)
+
+    def _load_real(self, idx: int) -> dict:
+        fname = self._real_fnames[idx % len(self._real_fnames)]
+        img = _imread_rgb_chw(fname)
+        flip = img[:, :, ::-1].copy()
+        label = self._real_label(fname)
+        factor = np.float32(1.0)
+        # Angle swap: replace the loss pose with another image's pose and
+        # mask the reconstruction loss (reference `dataset.py:1072-1083`).
+        if self._rnd.rand() > 0.5:
+            factor = np.float32(0.0)
+            other = self._real_fnames[self._rnd.randint(len(self._real_fnames))]
+            label = self._real_label(other)
+        rnd_name = self._real_fnames[self._rnd.randint(len(self._real_fnames))]
+        rnd = _imread_rgb_chw(rnd_name)
+        # Condition pose/depth borrowed from a random synth item (the real
+        # branch has no depth supervision of its own).
+        gen_name = self._gen_fnames[self._rnd.randint(len(self._gen_fnames))]
+        return {
+            "condition_image": img,
+            "condition_c": self._pose(gen_name),
+            "loss_image": img,
+            "loss_c": label,
+            "random_image": rnd,
+            "random_c": self._real_label(rnd_name),
+            "c_depth_image": self._depth(gen_name),
+            "l_depth_image": self._depth(gen_name, ("f", "s")),
+            "flip_image": flip,
+            "factor": factor,
+        }
+
+    def __getitem__(self, idx: int) -> dict:
+        if self._real_fnames and self._rnd.rand() > 0.5:
+            return self._load_real(idx)
+        return self._load_gen(idx)
+
+
+class TestDataset:
+    """Held-out real FFHQ crops (reference Test_Dataset,
+    `dataset.py:1114-1177`)."""
+
+    def __init__(self, real_path: str, resolution: int = 512, held_out: int = 8000,
+                 max_size: Optional[int] = None):
+        self.resolution = resolution
+        self._fnames = sorted(
+            glob.glob(os.path.join(real_path, "cropped_image", "*.jpg"))
+        )[-held_out:]
+        if max_size:
+            self._fnames = self._fnames[:max_size]
+        with open(os.path.join(real_path, "label", "labels.json")) as f:
+            self._labels = json.load(f)
+
+    def __len__(self):
+        return len(self._fnames)
+
+    def __getitem__(self, idx: int) -> dict:
+        fname = self._fnames[idx]
+        img = _imread_rgb_chw(fname)
+        label = np.asarray(
+            self._labels[os.path.basename(fname).replace(".jpg", ".png")],
+            dtype=np.float32,
+        )
+        return {"condition_image": img, "condition_c": label,
+                "loss_image": img, "loss_c": label, "factor": np.float32(1.0)}
+
+
+class SyntheticDataset:
+    """Procedural stand-in with the FFHQGen item contract: random images,
+    valid FFHQ orbit poses, plausible depth. Lets the full train step run
+    without any data on disk (smoke tests, benchmarks, CI)."""
+
+    def __init__(self, resolution: int = 512, depth_resolution: int = 64,
+                 size: int = 1024, seed: int = 0):
+        self.resolution = resolution
+        self.depth_resolution = depth_resolution
+        self._size = size
+        self._seed = seed
+
+    def __len__(self):
+        return self._size
+
+    @property
+    def label_dim(self) -> int:
+        return 25
+
+    def _label(self, rnd) -> np.ndarray:
+        # Build an orbit pose in numpy (no jax dependency in the data path).
+        theta = np.pi / 2 + 0.7 * (rnd.rand() * 2 - 1)
+        phi = np.pi / 2 - 0.05 + 0.3 * (rnd.rand() * 2 - 1)
+        r = 2.7
+        origin = np.array([
+            r * np.sin(phi) * np.cos(np.pi - theta),
+            r * np.cos(phi),
+            r * np.sin(phi) * np.sin(np.pi - theta),
+        ])
+        forward = -origin / np.linalg.norm(origin)
+        up = np.array([0.0, 1.0, 0.0])
+        right = -np.cross(up, forward)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(forward, right)
+        up2 /= np.linalg.norm(up2)
+        m = np.eye(4)
+        m[:3, :3] = np.stack([right, up2, forward], axis=-1)
+        m[:3, 3] = origin
+        intr = np.array([[4.2647, 0, 0.5], [0, 4.2647, 0.5], [0, 0, 1]])
+        return np.concatenate([m.reshape(16), intr.reshape(9)]).astype(np.float32)
+
+    def __getitem__(self, idx: int) -> dict:
+        rnd = np.random.RandomState(self._seed * 100003 + idx)
+        res = self.resolution
+        img = rnd.randint(0, 256, (3, res, res), dtype=np.uint8)
+        depth = (2.25 + rnd.rand(1, self.depth_resolution, self.depth_resolution)
+                 * (3.3 - 2.25)).astype(np.float32)
+        c = self._label(rnd)
+        return {
+            "condition_image": img,
+            "condition_c": c,
+            "loss_image": img,
+            "loss_c": self._label(rnd),
+            "random_image": img,
+            "random_c": self._label(rnd),
+            "c_depth_image": depth,
+            "l_depth_image": depth,
+            "flip_image": img[:, :, ::-1].copy(),
+            "factor": np.float32(1.0),
+        }
+
+
+def collate(items: list[Mapping[str, np.ndarray]]) -> dict:
+    keys = items[0].keys()
+    return {k: np.stack([np.asarray(it[k]) for it in items]) for k in keys}
+
+
+def data_iterator(
+    dataset,
+    batch_size: int,
+    rank: int = 0,
+    num_replicas: int = 1,
+    seed: int = 0,
+    prefetch: int = 2,
+) -> Iterator[dict]:
+    """Endless prefetched batch iterator, sharded across hosts."""
+    sampler = InfiniteSampler(len(dataset), rank=rank, num_replicas=num_replicas,
+                              seed=seed)
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+
+    def worker():
+        items = []
+        for idx in sampler:
+            items.append(dataset[idx])
+            if len(items) == batch_size:
+                q.put(collate(items))
+                items = []
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        yield q.get()

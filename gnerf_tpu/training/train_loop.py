@@ -1,0 +1,311 @@
+"""Joint E (+G) (+depth-D) training system.
+
+TPU-native re-design of the reference trainer
+(`/root/reference/g_nerf/training/training_loop.py:101-598`): the whole
+update — encoder forward, generator synthesis, reconstruction +
+adversarial-depth losses, both Adam updates, and the R1 penalty — is ONE
+jitted `train_step` function. Data parallelism is expressed by sharding the
+batch over the mesh's 'data' axis and replicating params: XLA inserts the
+gradient all-reduces (the reference hand-rolls a flat-buffer all_reduce,
+`training_loop.py:388-396` — unnecessary under pjit). Frozen-vs-trained
+module selection (train_en / train_gen, reference `:300-310`) is an optax
+masked optimizer instead of requires_grad toggles.
+
+Loss recipe (faithful to the live loop, `training_loop.py:325-437`):
+  recon = sum over {image, image_raw} of (L1 + (1-SSIM) + LPIPS),
+          each per-sample, masked by `factor`, normalized by factor.sum()
+  G     = recon + 1.2 * softplus(-D(depth_fake, loss_c)).mean()   [gan_depth]
+  D     = softplus(D(depth_fake, loss_c)) + softplus(-D(depth_real, cond_c))
+          + (r1_gamma/2) * R1(depth_real)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models.encoder import ResNeXt50Encoder
+from ..models.stylegan2 import Discriminator
+from ..models.triplane import TriPlaneGenerator
+from ..ops.interpolate import interpolate_bilinear
+from ..utils import checkpoint as ckpt_lib
+from ..utils.misc import ema_update
+from ..utils.stats import Collector
+from . import losses as L
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    total_kimg: int = 4000
+    kimg_per_tick: int = 2
+    batch_size: int = 32
+    glr: float = 1e-3
+    dlr: float = 8e-6
+    r1_gamma: float = 1.0
+    gan_depth: bool = True
+    train_en: bool = True
+    train_gen: bool = False
+    neural_rendering_resolution: int = 64
+    snapshot_ticks: int = 500
+    ema_kimg: float = 10.0
+    run_dir: str = "training-runs/run0"
+    random_seed: int = 0
+    dtype: Any = jnp.float32
+
+
+class TrainState(struct.PyTreeNode):
+    params_e: Any
+    state_e: Any
+    params_g: Any
+    params_g_ema: Any
+    params_d: Any
+    params_vgg: Any
+    opt_state_g: Any
+    opt_state_d: Any
+    cur_nimg: jax.Array
+
+
+def _trainable_mask(g: TriPlaneGenerator, params_e, params_g, cfg: TrainConfig):
+    """Boolean masks matching the reference's param_list selection
+    (`training_loop.py:300-310`): E if train_en; + G.mapping when z_dim!=512
+    and G frozen; + all of G when train_gen."""
+    mask_e = jax.tree_util.tree_map(lambda _: bool(cfg.train_en), params_e)
+    train_mapping = cfg.train_en and (g.z_dim != 512) and not cfg.train_gen
+
+    def g_mask(path_is_mapping, leaf):
+        return True
+
+    if cfg.train_gen:
+        mask_g = jax.tree_util.tree_map(lambda _: True, params_g)
+    else:
+        mask_g = jax.tree_util.tree_map(lambda _: False, params_g)
+        if train_mapping:
+            mask_g["backbone"]["mapping"] = jax.tree_util.tree_map(
+                lambda _: True, params_g["backbone"]["mapping"]
+            )
+    return {"e": mask_e, "g": mask_g}
+
+
+def make_optimizers(g: TriPlaneGenerator, params_e, params_g, cfg: TrainConfig):
+    mask = _trainable_mask(g, params_e, params_g, cfg)
+    # NB: optax.masked passes unmasked updates through UNCHANGED, so frozen
+    # params need an explicit set_to_zero branch.
+    labels = jax.tree_util.tree_map(
+        lambda trainable: "train" if trainable else "freeze", mask
+    )
+    opt_g = optax.multi_transform(
+        {"train": optax.adam(cfg.glr, b1=0.9, b2=0.999, eps=1e-8),
+         "freeze": optax.set_to_zero()},
+        param_labels=labels,
+    )
+    opt_d = optax.adam(cfg.dlr, b1=0.0, b2=0.999, eps=1e-8)
+    return opt_g, opt_d
+
+
+def make_train_step(
+    g: TriPlaneGenerator,
+    enc: ResNeXt50Encoder,
+    disc: Optional[Discriminator],
+    vgg: L.VGG16LPIPS,
+    opt_g,
+    opt_d,
+    cfg: TrainConfig,
+) -> Callable:
+    """Build the pure train-step function (jit/pjit it at the call site)."""
+    res = cfg.neural_rendering_resolution
+
+    def recon_terms(real, fake, params_vgg):
+        l1 = jnp.abs(real - fake).mean(axis=(1, 2, 3))
+        ssim_val = 1.0 - L.ssim(
+            real * 0.5 + 0.5, fake * 0.5 + 0.5, data_range=1.0, size_average=False
+        )
+        lp = L.lpips_distance(vgg, params_vgg, real, fake)
+        return l1, ssim_val, lp
+
+    def g_loss_fn(train_params, state: TrainState, batch, rng):
+        params_e, params_g = train_params["e"], train_params["g"]
+        k_noise, k_render = jax.random.split(rng)
+
+        id_images = batch["condition_image"].astype(cfg.dtype) / 127.5 - 1.0
+        z, new_state_e = enc.apply(
+            state.params_e if not cfg.train_en else params_e,
+            state.state_e, id_images, train=cfg.train_en,
+        )
+        loss_c = batch["loss_c"].astype(jnp.float32)
+        ws = g.mapping(params_g, z, loss_c)
+        out = g.synthesis(
+            params_g, ws, loss_c, neural_rendering_resolution=res,
+            noise_mode="random", rng=k_noise, dtype=cfg.dtype,
+        )
+
+        real_img = batch["loss_image"].astype(jnp.float32) / 127.5 - 1.0
+        real_raw = (
+            interpolate_bilinear(
+                batch["loss_image"].astype(jnp.float32), res, res, antialias=True
+            )
+            / 127.5
+            - 1.0
+        )
+        factor = batch["factor"].astype(jnp.float32)
+
+        l1_raw, ssim_raw, lp_raw = recon_terms(
+            real_raw, out["image_raw"], state.params_vgg
+        )
+        l1_full, ssim_full, lp_full = recon_terms(
+            real_img, out["image"], state.params_vgg
+        )
+        recon = L.masked_mean(
+            l1_raw + ssim_raw + lp_raw + l1_full + ssim_full + lp_full, factor
+        )
+
+        stats = {
+            "Loss/G/l1_loss": L.masked_mean(l1_full, factor),
+            "Loss/G/l_ssim_val": L.masked_mean(ssim_full, factor),
+            "Loss/G/p_loss": L.masked_mean(lp_full, factor),
+            "Loss/G/l1_loss_raw": L.masked_mean(l1_raw, factor),
+            "Loss/G/ssim_val_raw": L.masked_mean(ssim_raw, factor),
+            "Loss/G/p_loss_raw": L.masked_mean(lp_raw, factor),
+        }
+
+        total = recon
+        if cfg.gan_depth and disc is not None:
+            fake_logits = disc.apply(state.params_d, out["image_depth"], loss_c)
+            loss_gmain = L.g_nonsaturating_loss(fake_logits)
+            total = total + 1.2 * loss_gmain
+            stats["Loss/G/main"] = loss_gmain
+
+        aux = {
+            "stats": stats,
+            "state_e": new_state_e if cfg.train_en else state.state_e,
+            "depth_fake": jax.lax.stop_gradient(out["image_depth"]),
+        }
+        return total, aux
+
+    def d_loss_fn(params_d, state: TrainState, batch, depth_fake):
+        loss_c = batch["loss_c"].astype(jnp.float32)
+        cond_c = batch["condition_c"].astype(jnp.float32)
+        depth_real = interpolate_bilinear(
+            batch["c_depth_image"].astype(jnp.float32), res, res, antialias=True
+        )
+
+        fake_logits = disc.apply(params_d, depth_fake, loss_c)
+        loss_dgen = jax.nn.softplus(fake_logits).mean()
+
+        real_logits = disc.apply(params_d, depth_real, cond_c)
+        loss_dreal = jax.nn.softplus(-real_logits).mean()
+
+        r1 = L.r1_penalty(lambda x: disc.apply(params_d, x, cond_c), depth_real)
+        loss_dr1 = (r1 * (cfg.r1_gamma / 2)).mean()
+
+        stats = {
+            "Loss/scores/fake": fake_logits.mean(),
+            "Loss/scores/real": real_logits.mean(),
+            "Loss/D/real": loss_dreal,
+            "Loss/D/r1": loss_dr1,
+        }
+        return loss_dgen + loss_dreal + loss_dr1, stats
+
+    def scrub(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.nan_to_num(x, nan=0.0, posinf=1e5, neginf=-1e5), tree
+        )
+
+    def train_step(state: TrainState, batch, rng):
+        train_params = {"e": state.params_e, "g": state.params_g}
+        (loss, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            train_params, state, batch, rng
+        )
+        grads = scrub(grads)
+        updates, new_opt_g = opt_g.update(grads, state.opt_state_g, train_params)
+        new_train = optax.apply_updates(train_params, updates)
+
+        stats = dict(aux["stats"])
+        stats["Loss/G/total"] = loss
+
+        new_params_d = state.params_d
+        new_opt_d = state.opt_state_d
+        if cfg.gan_depth and disc is not None:
+            (d_loss, d_stats), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.params_d, state, batch, aux["depth_fake"])
+            d_grads = scrub(d_grads)
+            d_updates, new_opt_d = opt_d.update(
+                d_grads, state.opt_state_d, state.params_d
+            )
+            new_params_d = optax.apply_updates(state.params_d, d_updates)
+            stats.update(d_stats)
+            stats["Loss/D/total"] = d_loss
+
+        # G_ema: the reference's custom loop skips EMA (snapshots G as G_ema,
+        # `training_loop.py:503-560`); we keep a true EMA — strictly better.
+        ema_beta = 0.5 ** (cfg.batch_size / max(cfg.ema_kimg * 1000.0, 1e-8))
+        new_ema = ema_update(state.params_g_ema, new_train["g"], ema_beta)
+
+        new_state = state.replace(
+            params_e=new_train["e"],
+            state_e=aux["state_e"],
+            params_g=new_train["g"],
+            params_g_ema=new_ema,
+            params_d=new_params_d,
+            opt_state_g=new_opt_g,
+            opt_state_d=new_opt_d,
+            cur_nimg=state.cur_nimg + batch["condition_image"].shape[0],
+        )
+        return new_state, stats
+
+    return train_step
+
+
+def init_train_state(
+    g: TriPlaneGenerator,
+    enc: ResNeXt50Encoder,
+    disc: Optional[Discriminator],
+    vgg: L.VGG16LPIPS,
+    cfg: TrainConfig,
+    rng: jax.Array,
+    opt_g=None,
+    opt_d=None,
+) -> TrainState:
+    k_e, k_g, k_d, k_v = jax.random.split(rng, 4)
+    params_e, state_e = enc.init(k_e)
+    params_g = g.init(k_g)
+    params_d = disc.init(k_d) if disc is not None else {}
+    params_vgg = vgg.init(k_v)
+    if opt_g is None:
+        opt_g, opt_d = make_optimizers(g, params_e, params_g, cfg)
+    train_params = {"e": params_e, "g": params_g}
+    return TrainState(
+        params_e=params_e,
+        state_e=state_e,
+        params_g=params_g,
+        params_g_ema=jax.tree_util.tree_map(jnp.copy, params_g),
+        params_d=params_d,
+        params_vgg=params_vgg,
+        opt_state_g=opt_g.init(train_params),
+        opt_state_d=opt_d.init(params_d) if disc is not None else {},
+        cur_nimg=jnp.zeros((), jnp.int64 if jax.config.read("jax_enable_x64") else jnp.int32),
+    )
+
+
+def save_snapshot(path: str, state: TrainState, config: Optional[dict] = None):
+    """Snapshot in the reference's key layout: G_ema / E / D (+ E BN state)."""
+    ckpt_lib.save_checkpoint(
+        path,
+        {
+            "G_ema": state.params_g_ema,
+            "G": state.params_g,
+            "E": state.params_e,
+            "E_state": state.state_e,
+            "D": state.params_d,
+        },
+        config=config,
+    )

@@ -1,0 +1,147 @@
+"""Tests for the distributed substrate on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gnerf_tpu.parallel import (
+    DATA_AXIS,
+    batch_spec,
+    check_replica_consistency,
+    make_mesh,
+    pmean_grads,
+    put_replicated,
+    ray_spec,
+    sharded_jit,
+)
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices (virtual CPU mesh)"
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(data=8)
+    assert mesh.shape == {"data": 8, "rays": 1}
+    mesh2 = make_mesh(data=4, rays=2)
+    assert mesh2.shape == {"data": 4, "rays": 2}
+    mesh3 = make_mesh(rays=2)
+    assert mesh3.shape == {"data": 4, "rays": 2}
+
+
+def test_sharded_jit_matches_single_device():
+    mesh = make_mesh(data=8)
+    rng = np.random.RandomState(0)
+    x = rng.randn(16, 32).astype(np.float32)
+    w = rng.randn(32, 8).astype(np.float32)
+
+    def fn(x, w):
+        return jnp.tanh(x @ w).sum(axis=1)
+
+    f = sharded_jit(fn, mesh, in_specs=(batch_spec(2), None))
+    got = np.asarray(f(jnp.asarray(x), jnp.asarray(w)))
+    want = np.asarray(jax.jit(fn)(jnp.asarray(x), jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_data_parallel_grads_match_single_device():
+    """Sharded-batch grad of a replicated-param loss == single-device grad —
+    the pjit formulation of the reference's manual all_reduce."""
+    mesh = make_mesh(data=8)
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+    x = jnp.asarray(rng.randn(32, 16).astype(np.float32))
+
+    def loss(w, x):
+        return jnp.mean(jnp.square(x @ w))
+
+    grad_fn = jax.grad(loss)
+    want = np.asarray(jax.jit(grad_fn)(w, x))
+
+    repl = NamedSharding(mesh, P())
+    xs = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, None)))
+    ws = jax.device_put(w, repl)
+    got = np.asarray(
+        jax.jit(grad_fn, in_shardings=(repl, NamedSharding(mesh, P(DATA_AXIS, None))),
+                out_shardings=repl)(ws, xs)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_pmean_grads_inside_shard_map():
+    mesh = make_mesh(data=8)
+    x = jnp.arange(8.0)
+
+    def body(x):
+        g = {"w": x * 2}
+        g = pmean_grads(g, DATA_AXIS)
+        return g["w"]
+
+    out = jax.shard_map(
+        body, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS)
+    )(x)
+    # pmean of (0..7)*2 = 7.0 everywhere.
+    np.testing.assert_allclose(np.asarray(out), 7.0)
+
+
+def test_pmean_grads_scrubs_nans():
+    mesh = make_mesh(data=8)
+    x = jnp.asarray([np.nan] + [1.0] * 7)
+
+    def body(x):
+        return pmean_grads({"g": x}, DATA_AXIS)["g"]
+
+    out = jax.shard_map(
+        body, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS)
+    )(x)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_replica_consistency_check():
+    mesh = make_mesh(data=8)
+    params = put_replicated({"w": jnp.ones((4, 4))}, mesh)
+    assert check_replica_consistency(params, mesh)
+
+
+def test_ray_sharded_render_matches_replicated():
+    """Sharding the ray axis over the mesh must not change results — the
+    renderer's sequence-parallel analog (SURVEY.md section 5.7)."""
+    from gnerf_tpu.render import render_rays, sample_rays
+    from gnerf_tpu.utils import camera
+
+    mesh = make_mesh(data=1, rays=8, devices=jax.devices()[:8])
+    opts = dict(
+        depth_resolution=8, depth_resolution_importance=8,
+        ray_start=2.25, ray_end=3.3, box_warp=1.0, clamp_mode="softplus",
+        white_back=False, disparity_space_sampling=False, density_noise=0,
+    )
+    c2w = camera.lookat_sample(np.pi / 2, np.pi / 2, radius=2.7)
+    o, d = sample_rays(c2w, camera.FFHQ_INTRINSICS[None], 8)  # 64 rays
+    planes = jnp.asarray(
+        np.random.RandomState(3).randn(1, 3, 4, 16, 16), jnp.float32
+    )
+
+    def dec(feats, dirs):
+        m = feats.mean(1)
+        return {"rgb": jax.nn.sigmoid(m[..., :3]), "sigma": m.sum(-1, keepdims=True)}
+
+    def render(planes, o, d):
+        rgb, depth, w = render_rays(planes, dec, o, d, opts, rng=None)
+        return rgb, depth
+
+    want_rgb, want_depth = jax.jit(render)(planes, o, d)
+
+    repl = NamedSharding(mesh, P())
+    rs = NamedSharding(mesh, P(None, "rays", None))
+    f = jax.jit(render, in_shardings=(repl, rs, rs), out_shardings=(rs, rs))
+    got_rgb, got_depth = f(
+        jax.device_put(planes, repl), jax.device_put(o, rs), jax.device_put(d, rs)
+    )
+    np.testing.assert_allclose(np.asarray(got_rgb), np.asarray(want_rgb),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_depth), np.asarray(want_depth),
+                               rtol=1e-4, atol=1e-5)

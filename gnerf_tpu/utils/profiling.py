@@ -1,0 +1,62 @@
+"""Tracing / profiling helpers (aux subsystem, SURVEY.md section 5.1).
+
+Replaces the reference's `misc.profiled_function` /
+`torch.autograd.profiler.record_function` scopes with `jax.profiler`
+equivalents: named traces show up in TensorBoard / Perfetto captures."""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import time
+from typing import Optional
+
+import jax
+
+
+def profiled_function(fn):
+    """Wrap a function in a named jax profiler trace scope."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.profiler.TraceAnnotation(fn.__qualname__):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+@contextlib.contextmanager
+def trace(run_dir: str):
+    """Capture a device trace for the enclosed block:
+
+        with profiling.trace('/tmp/trace'):
+            step(...)
+    View with TensorBoard's profile plugin or Perfetto."""
+    jax.profiler.start_trace(run_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """sec/tick + sec/kimg status-line bookkeeping (the reference's
+    training_loop status fields)."""
+
+    def __init__(self):
+        self.start = time.time()
+        self.tick_start = self.start
+        self.tick_start_nimg = 0
+
+    def tick(self, cur_nimg: int) -> dict:
+        now = time.time()
+        dt = now - self.tick_start
+        dn = max(cur_nimg - self.tick_start_nimg, 1)
+        out = {
+            "Timing/total_sec": now - self.start,
+            "Timing/sec_per_tick": dt,
+            "Timing/sec_per_kimg": dt / (dn / 1000.0),
+        }
+        self.tick_start = now
+        self.tick_start_nimg = cur_nimg
+        return out

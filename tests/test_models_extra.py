@@ -1,0 +1,205 @@
+"""Tests for StyleGAN3, dual discriminators, EG3D loss, profiling, cross-sections."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from gnerf_tpu.models import (
+    DualDiscriminator,
+    DummyDualDiscriminator,
+    SingleDiscriminator,
+    TriPlaneGenerator,
+    filtered_resizing,
+    stylegan3,
+)
+
+
+def test_sg3_modulated_conv_matches_torch():
+    rng = np.random.RandomState(0)
+    N, I, O, k, H = 2, 4, 6, 3, 8
+    x = rng.randn(N, I, H, H).astype(np.float32)
+    w = rng.randn(O, I, k, k).astype(np.float32)
+    s = rng.rand(N, I).astype(np.float32) + 0.5
+    gain = np.float32(0.7)
+
+    got = np.asarray(stylegan3.sg3_modulated_conv2d(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(s),
+        padding=k - 1, input_gain=jnp.asarray(gain),
+    ))
+
+    # Oracle: SG3 math with stock torch (pre-normalize, modulate, demod,
+    # input gain, grouped conv).
+    tw = torch.from_numpy(w)
+    ts = torch.from_numpy(s)
+    tw = tw * tw.square().mean(dim=[1, 2, 3], keepdim=True).rsqrt()
+    ts = ts * ts.square().mean().rsqrt()
+    tw = tw[None] * ts[:, None, :, None, None]
+    d = (tw.square().sum(dim=[2, 3, 4]) + 1e-8).rsqrt()
+    tw = tw * d[:, :, None, None, None]
+    tw = tw * gain
+    outs = [F.conv2d(torch.from_numpy(x[i:i+1]), tw[i], padding=k - 1)
+            for i in range(N)]
+    want = torch.cat(outs).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_sg3_design_lowpass_filter():
+    f = stylegan3.design_lowpass_filter(12, cutoff=2.0, width=2.0, fs=16)
+    assert f.shape == (12,)
+    np.testing.assert_allclose(f.sum(), 1.0, rtol=1e-5)
+    fr = stylegan3.design_lowpass_filter(12, cutoff=2.0, width=2.0, fs=16, radial=True)
+    assert fr.shape == (12, 12)
+    np.testing.assert_allclose(fr.sum(), 1.0, rtol=1e-5)
+    assert stylegan3.design_lowpass_filter(1, 2.0, 2.0, 16) is None
+
+
+def test_sg3_generator_tiny_forward():
+    g = stylegan3.Generator(z_dim=16, c_dim=0, w_dim=32, img_resolution=32,
+                            img_channels=3, channel_base=1024, channel_max=32,
+                            num_layers=6)
+    p = g.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    img = g.apply(p, z, None)
+    assert img.shape == (2, 3, 32, 32)
+    assert np.isfinite(np.asarray(img)).all()
+    # Deterministic (no noise inputs in SG3).
+    img2 = g.apply(p, z, None)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img2))
+
+
+def test_filtered_resizing_modes():
+    from gnerf_tpu.ops import setup_filter
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randn(1, 3, 16, 16), jnp.float32)
+    f = setup_filter([1, 3, 3, 1])
+    for mode in ("antialiased", "classic", "none", 0.5):
+        out = filtered_resizing(img, 32, f, filter_mode=mode)
+        assert out.shape == (1, 3, 32, 32), mode
+        assert np.isfinite(np.asarray(out)).all(), mode
+    # 'antialiased' upsample matches torch interpolate.
+    want = F.interpolate(torch.from_numpy(np.asarray(img)), size=(32, 32),
+                         mode="bilinear", align_corners=False, antialias=True)
+    got = filtered_resizing(img, 32, f, filter_mode="antialiased")
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_dual_discriminators_shapes():
+    imgs = {
+        "image": jax.random.normal(jax.random.PRNGKey(0), (2, 3, 32, 32)),
+        "image_raw": jax.random.normal(jax.random.PRNGKey(1), (2, 3, 16, 16)),
+    }
+    c = jax.random.normal(jax.random.PRNGKey(2), (2, 25))
+    for cls in (SingleDiscriminator, DualDiscriminator, DummyDualDiscriminator):
+        d = cls(c_dim=25, img_resolution=32, img_channels=3,
+                channel_base=512, channel_max=32, mbstd_group_size=1)
+        p = d.init(jax.random.PRNGKey(3))
+        out = d.apply(p, imgs, c)
+        assert out.shape == (2, 1), cls.__name__
+        assert np.isfinite(np.asarray(out)).all(), cls.__name__
+
+
+def _tiny_g():
+    return TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=8,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+
+
+def test_eg3d_train_step_tiny():
+    from gnerf_tpu.training.eg3d_loss import (
+        EG3DLossConfig,
+        init_eg3d_state,
+        make_eg3d_train_step,
+    )
+
+    g = _tiny_g()
+    disc = DualDiscriminator(c_dim=25, img_resolution=16, img_channels=3,
+                             channel_base=256, channel_max=32, mbstd_group_size=1)
+    cfg = EG3DLossConfig(neural_rendering_resolution=8,
+                         density_reg=0.25, density_reg_points=16, r1_gamma=1.0)
+    step, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
+    state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
+
+    batch = {
+        "z": jax.random.normal(jax.random.PRNGKey(1), (2, 16)),
+        "c": jax.random.normal(jax.random.PRNGKey(2), (2, 25)),
+        "real_image": jax.random.normal(jax.random.PRNGKey(3), (2, 3, 16, 16)),
+        "real_c": jax.random.normal(jax.random.PRNGKey(4), (2, 25)),
+    }
+    new_state, stats = jax.jit(step)(state, batch, jax.random.PRNGKey(5))
+    for k in ("Loss/G/total", "Loss/D/total", "Loss/G/density_reg", "Loss/D/reg"):
+        assert np.isfinite(float(stats[k])), (k, stats[k])
+    # Both nets moved.
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state["params_g"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(new_state["params_g"])[0]),
+    )
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state["params_d"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(new_state["params_d"])[0]),
+    )
+
+
+def test_eg3d_schedules_and_blur():
+    from gnerf_tpu.training.eg3d_loss import (
+        EG3DLossConfig,
+        blur_image,
+        blur_sigma_schedule,
+        swapped_conditioning,
+        swapping_prob_schedule,
+    )
+
+    cfg = EG3DLossConfig(blur_init_sigma=10.0, blur_fade_kimg=200,
+                         gpc_reg_prob=0.5, gpc_reg_fade_kimg=1000)
+    assert float(blur_sigma_schedule(0, cfg)) == 10.0
+    assert float(blur_sigma_schedule(200_000, cfg)) == 0.0
+    np.testing.assert_allclose(float(swapping_prob_schedule(0, cfg)), 1.0)
+    np.testing.assert_allclose(float(swapping_prob_schedule(10_000_000, cfg)), 0.5)
+
+    c = jnp.arange(6.0).reshape(3, 2)
+    swapped = swapped_conditioning(jax.random.PRNGKey(0), c, 1.0)
+    np.testing.assert_allclose(np.asarray(swapped), np.roll(np.asarray(c), 1, 0))
+    zeros = swapped_conditioning(jax.random.PRNGKey(0), c, None)
+    np.testing.assert_allclose(np.asarray(zeros), 0.0)
+
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16, 16))
+    blurred = blur_image(img, 2.0)
+    assert blurred.shape == img.shape
+    assert float(jnp.std(blurred)) < float(jnp.std(img))
+    np.testing.assert_allclose(np.asarray(blur_image(img, 0.0)), np.asarray(img))
+
+
+def test_cross_section():
+    from gnerf_tpu.infer.crosssection import sample_cross_section
+
+    g = _tiny_g()
+    p = g.init(jax.random.PRNGKey(0))
+    ws = g.mapping(p, jax.random.normal(jax.random.PRNGKey(1), (1, 16)),
+                   jnp.zeros((1, 25)))
+    sl = sample_cross_section(g, p, ws, resolution=8)
+    assert sl.shape == (1, 8, 8)
+    assert np.isfinite(np.asarray(sl)).all()
+
+
+def test_profiled_function_and_timer():
+    from gnerf_tpu.utils.profiling import StepTimer, profiled_function
+
+    @profiled_function
+    def f(x):
+        return x * 2
+
+    np.testing.assert_allclose(np.asarray(f(jnp.ones(3))), 2.0)
+    t = StepTimer()
+    out = t.tick(64)
+    assert "Timing/sec_per_kimg" in out and out["Timing/sec_per_tick"] >= 0

@@ -30,6 +30,11 @@ def main():
     from gnerf_tpu.models import TriPlaneGenerator
     from gnerf_tpu.utils import camera
 
+    # Production precision: bf16 backbone + superresolution (the reference
+    # itself runs these blocks in fp16 with clamp, train.py:400-403), fp32
+    # volumetric rendering.
+    dtype = jnp.bfloat16
+
     g = TriPlaneGenerator()  # full default config (512^2, 8XDC, 48+48)
     params = g.init(jax.random.PRNGKey(0))
     z = jax.random.normal(jax.random.PRNGKey(1), (1, g.z_dim))
@@ -42,7 +47,7 @@ def main():
     @jax.jit
     def prepare(params, z, c):
         ws = g.mapping(params, z, c)
-        planes = g.backbone_planes(params, ws, noise_mode="const")
+        planes = g.backbone_planes(params, ws, noise_mode="const", dtype=dtype)
         return ws, planes
 
     # Per-clip work: every frame of the orbit in ONE jitted program
@@ -51,7 +56,8 @@ def main():
 
     def clip(params, planes, ws, cs):
         def one(c):
-            out = g.render_planes(params, planes, c[None], ws, noise_mode="const")
+            out = g.render_planes(params, planes, c[None], ws, noise_mode="const",
+                                  dtype=dtype)
             return out["image"][0]
 
         return jax.lax.map(one, cs)

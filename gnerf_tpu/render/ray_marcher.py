@@ -37,6 +37,12 @@ def march_rays(
     assert options.get("clamp_mode", "softplus") == "softplus", (
         "march_rays only supports clamp_mode='softplus'"
     )
+    # Compositing (exp/cumprod of near-1 transmittances) is precision
+    # sensitive: always march in fp32 even when the feature pipeline runs
+    # bf16 — the tensors here are tiny (rays x samples).
+    colors = colors.astype(jnp.float32)
+    densities = densities.astype(jnp.float32)
+    depths = depths.astype(jnp.float32)
     deltas = depths[:, :, 1:] - depths[:, :, :-1]
     colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
     densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2

@@ -1,0 +1,102 @@
+"""Tests for the PTI fine-tuning harness."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gnerf_tpu.models import TriPlaneGenerator
+from gnerf_tpu.training import VGG16LPIPS
+from gnerf_tpu.training.pti import (
+    PTIConfig,
+    init_pti_state,
+    make_optimizer,
+    make_pti_step,
+    morphed_w_code,
+    run_pti,
+)
+
+
+def _tiny():
+    g = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=8,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    vgg = VGG16LPIPS(resize_to=32)
+    return g, vgg
+
+
+def test_morphed_w_code_distance():
+    fixed = jnp.zeros((1, 5, 8))
+    new = jnp.ones((1, 5, 8))
+    out = morphed_w_code(new, fixed, alpha=3.0)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out - fixed)), 3.0, rtol=1e-5)
+
+
+def test_pti_step_freezes_sr_and_reduces_loss():
+    g, vgg = _tiny()
+    params_g = g.init(jax.random.PRNGKey(0))
+    params_vgg = vgg.init(jax.random.PRNGKey(1))
+    cfg = PTIConfig(lr=1e-2, neural_rendering_resolution=8, l1_lambda=1.0)
+
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 16))
+    ws = g.mapping(params_g, z, jnp.zeros((1, 25)))
+    from gnerf_tpu.utils import camera
+
+    c = camera.pose_to_label(
+        camera.lookat_sample(np.pi / 2, np.pi / 2, radius=2.7),
+        camera.FFHQ_INTRINSICS,
+    )
+    target = jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 16, 16),
+                                minval=-1, maxval=1)
+
+    state = init_pti_state(g, params_g, vgg, params_vgg, cfg)
+    opt = make_optimizer(params_g, cfg)
+    step = jax.jit(make_pti_step(g, vgg, cfg, opt))
+    batch = {"ws": ws, "loss_image": target, "loss_c": c}
+
+    losses = []
+    for i in range(5):
+        state, stats = step(state, batch, jax.random.PRNGKey(10 + i))
+        losses.append(float(stats["Loss/pti/total"]))
+    assert losses[-1] < losses[0], losses
+    # SR frozen, decoder tuned.
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state["params_g"]["superresolution"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(params_g["superresolution"])[0]),
+    )
+    assert not np.allclose(
+        np.asarray(state["params_g"]["decoder"]["fc0"]["weight"]),
+        np.asarray(params_g["decoder"]["fc0"]["weight"]),
+    )
+    # Original G untouched.
+    np.testing.assert_allclose(
+        np.asarray(state["params_g_original"]["decoder"]["fc0"]["weight"]),
+        np.asarray(params_g["decoder"]["fc0"]["weight"]),
+    )
+
+
+def test_pti_locality_regularizer_runs():
+    g, vgg = _tiny()
+    params_g = g.init(jax.random.PRNGKey(0))
+    params_vgg = vgg.init(jax.random.PRNGKey(1))
+    cfg = PTIConfig(lr=1e-3, neural_rendering_resolution=8,
+                    use_locality_reg=True, latent_ball_num_of_samples=1)
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 16))
+    ws = g.mapping(params_g, z, jnp.zeros((1, 25)))
+    from gnerf_tpu.utils import camera
+
+    c = camera.pose_to_label(
+        camera.lookat_sample(np.pi / 2, np.pi / 2, radius=2.7),
+        camera.FFHQ_INTRINSICS,
+    )
+    target = jnp.zeros((1, 3, 16, 16))
+    tuned, history = run_pti(g, params_g, vgg, params_vgg, ws, target, c,
+                             num_steps=2, cfg=cfg)
+    assert len(history) == 2 and all(np.isfinite(history))

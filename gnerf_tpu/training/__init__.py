@@ -1,6 +1,15 @@
 """L5 training system: datasets, losses, train loop."""
 
-from .dataset import FFHQGenDataset, SyntheticDataset, TestDataset, data_iterator
+from .augment import AugmentPipe
+from .dataset import (
+    Afhqv2Dataset,
+    FFHQGenDataset,
+    ShapeNetDataset,
+    SyntheticDataset,
+    TestDataset,
+    collate,
+    data_iterator,
+)
 from .losses import (
     VGG16LPIPS,
     d_logistic_loss,
@@ -20,7 +29,11 @@ from .train_loop import (
 )
 
 __all__ = [
+    "Afhqv2Dataset",
+    "AugmentPipe",
     "FFHQGenDataset",
+    "ShapeNetDataset",
+    "collate",
     "SyntheticDataset",
     "TestDataset",
     "TrainConfig",

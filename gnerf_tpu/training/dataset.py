@@ -71,12 +71,7 @@ class FFHQGenDataset:
         self.resolution = resolution
         self._rnd = np.random.RandomState(seed)
 
-        self._gen_fnames = []
-        for entry in sorted(os.scandir(path), key=lambda e: e.name):
-            cand = os.path.join(path, entry.name, entry.name + "_f.jpg")
-            if os.path.isfile(cand):
-                self._gen_fnames.append(cand)
-        self._gen_fnames = self._gen_fnames[:max_gen]
+        self._gen_fnames = self._scan_gen(path)[:max_gen]
         if not self._gen_fnames:
             raise IOError(f"No synthesized pairs found under {path}")
         with open(os.path.join(path, "pose_labels.json")) as f:
@@ -97,6 +92,15 @@ class FFHQGenDataset:
             self._real_fnames = self._real_fnames[:max_size]
 
         self._size = max(len(self._real_fnames), len(self._gen_fnames))
+
+    def _scan_gen(self, path: str) -> list[str]:
+        """Per-identity dirs: `<id>/<id>_f.jpg` (FFHQ layout)."""
+        out = []
+        for entry in sorted(os.scandir(path), key=lambda e: e.name):
+            cand = os.path.join(path, entry.name, entry.name + "_f.jpg")
+            if os.path.isfile(cand):
+                out.append(cand)
+        return out
 
     def __len__(self) -> int:
         return self._size
@@ -175,6 +179,71 @@ class FFHQGenDataset:
         if self._real_fnames and self._rnd.rand() > 0.5:
             return self._load_real(idx)
         return self._load_gen(idx)
+
+
+class Afhqv2Dataset(FFHQGenDataset):
+    """AFHQ-v2 paired training set (reference Afhqv2_Dataset,
+    `dataset.py:1179-1386`): real cat crops `train/cat/*.png` with
+    `train/label/labels.json`, plus the same synthesized-pair layout. The
+    reference's hardcoded machine path becomes `real_path`."""
+
+    def __init__(self, path: str, real_path: Optional[str] = None,
+                 resolution: int = 512, max_size: Optional[int] = 4000,
+                 max_gen: int = 6000, seed: int = 0):
+        # Reuse the FFHQGen synth-pair machinery; swap the real-file listing.
+        super().__init__(path=path, real_path=None, resolution=resolution,
+                         max_size=max_size, max_gen=max_gen, seed=seed)
+        if real_path is not None and os.path.isdir(real_path):
+            self._real_fnames = sorted(
+                glob.glob(os.path.join(real_path, "train", "cat", "*.png"))
+            )
+            if max_size is not None:
+                self._real_fnames = self._real_fnames[:max_size]
+            with open(os.path.join(real_path, "train", "label", "labels.json")) as f:
+                self._real_labels = json.load(f)
+        self._size = max(len(self._real_fnames), len(self._gen_fnames))
+
+    def _scan_gen(self, path: str) -> list[str]:
+        # AFHQ synth dirs use a flat `*/*_f.jpg` glob.
+        return sorted(glob.glob(os.path.join(path, "*", "*_f.jpg")))
+
+    def _real_label(self, fname: str):
+        # AFHQ label keys keep the original extension.
+        return np.asarray(self._real_labels[os.path.basename(fname)],
+                          dtype=np.float32)
+
+
+class ShapeNetDataset(FFHQGenDataset):
+    """SRN chairs/cars paired set (reference ShapeNet_Dataset,
+    `dataset.py:1389-1611`): real views listed in `train_up_sphere.txt` with
+    `label/labels.json` keyed by the listed relative path. The reference's
+    `_load_all_ShapeNet` stub (`dataset.py:1520-1523`, broken) is fixed: the
+    real branch is fully implemented."""
+
+    def __init__(self, path: str, real_path: Optional[str] = None,
+                 resolution: int = 128, max_size: Optional[int] = 100000,
+                 max_gen: int = 100000, seed: int = 0):
+        super().__init__(path=path, real_path=None, resolution=resolution,
+                         max_size=max_size, max_gen=max_gen, seed=seed)
+        self._real_root = real_path
+        if real_path is not None and os.path.isdir(real_path):
+            with open(os.path.join(real_path, "train_up_sphere.txt")) as f:
+                rel = [line.strip() for line in f if line.strip()]
+            self._real_fnames = sorted(
+                os.path.join(real_path, r) for r in rel
+            )
+            if max_size is not None:
+                self._real_fnames = self._real_fnames[:max_size]
+            with open(os.path.join(real_path, "label", "labels.json")) as f:
+                self._real_labels = json.load(f)
+        self._size = max(len(self._real_fnames), len(self._gen_fnames))
+
+    def _scan_gen(self, path: str) -> list[str]:
+        return sorted(glob.glob(os.path.join(path, "*", "*_f.jpg")))
+
+    def _real_label(self, fname: str):
+        key = os.path.relpath(fname, self._real_root)
+        return np.asarray(self._real_labels[key], dtype=np.float32)
 
 
 class TestDataset:

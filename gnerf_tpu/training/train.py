@@ -49,6 +49,47 @@ RENDERING_PRESETS = {
 }
 
 
+def save_image_grid(images: np.ndarray, path: str, drange=(-1, 1),
+                    grid_w: int = None) -> None:
+    """Tile [N, C, H, W] into one PNG (reference save_image_grid)."""
+    from PIL import Image
+
+    lo, hi = drange
+    img = (np.asarray(images, np.float32) - lo) * (255 / (hi - lo))
+    img = np.rint(img).clip(0, 255).astype(np.uint8)
+    n, c, h, w = img.shape
+    gw = grid_w or int(np.ceil(np.sqrt(n)))
+    gh = int(np.ceil(n / gw))
+    pad = gw * gh - n
+    if pad:
+        img = np.concatenate([img, np.zeros((pad, c, h, w), np.uint8)])
+    img = img.reshape(gh, gw, c, h, w).transpose(0, 3, 1, 4, 2)
+    img = img.reshape(gh * h, gw * w, c)
+    if c == 1:
+        img = img[..., 0]
+    Image.fromarray(img).save(path)
+
+
+def make_validator(g, enc, cfg):
+    """Validation SSIM over held-out items — the metric that gates the
+    best-checkpoint snapshot (reference `training_loop.py:474-529`)."""
+    from .losses import ssim as ssim_fn
+
+    @jax.jit
+    def validate_batch(params_e, state_e, params_g, batch):
+        id_images = batch["condition_image"].astype(jnp.float32) / 127.5 - 1.0
+        z, _ = enc.apply(params_e, state_e, id_images, train=False)
+        c = batch["loss_c"].astype(jnp.float32)
+        ws = g.mapping(params_g, z, c)
+        out = g.synthesis(params_g, ws, c, noise_mode="none")
+        real = batch["loss_image"].astype(jnp.float32) / 127.5 - 1.0
+        val = ssim_fn(real * 0.5 + 0.5, out["image"] * 0.5 + 0.5,
+                      data_range=1.0)
+        return val, out["image"]
+
+    return validate_batch
+
+
 def pick_run_dir(outdir: str, desc: str) -> str:
     os.makedirs(outdir, exist_ok=True)
     prev = [
@@ -181,6 +222,25 @@ def run_training(
     step = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
                    out_shardings=(repl, repl), donate_argnums=(0,))
 
+    # Validation + snapshots.
+    validate_batch = make_validator(g, enc, cfg)
+    val_items = [dataset[i] for i in range(min(4, len(dataset)))]
+    from .dataset import collate
+
+    val_batch = {k: jnp.asarray(v) for k, v in collate(val_items).items()
+                 if k in ("condition_image", "loss_image", "loss_c")}
+    save_image_grid(np.asarray(val_batch["condition_image"], np.float32),
+                    os.path.join(run_dir, "id_images.png"), drange=(0, 255))
+    best_ssim = -100.0
+
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(run_dir)
+    except Exception as err:  # pragma: no cover
+        print("Skipping tfevents export:", err)
+
     collector = Collector()
     cur_nimg = 0
     tick_idx = 0
@@ -205,10 +265,31 @@ def run_training(
             msg = " ".join(
                 f"{k.split('/')[-1]} {v['mean']:.4f}" for k, v in fields.items()
             )
+            # Validation SSIM on the held-out grid; gate the best snapshot.
+            val_ssim, val_images = validate_batch(
+                state.params_e, state.state_e, state.params_g_ema, val_batch
+            )
+            val_ssim = float(val_ssim)
             print(f"tick {tick_idx:<5d} kimg {cur_nimg / 1000:<8.1f} "
-                  f"sec/tick {now - tick_start:<7.1f} {msg}")
-            collector.write_jsonl(os.path.join(run_dir, "stats.jsonl"),
-                                  extra={"kimg": cur_nimg / 1000})
+                  f"sec/tick {now - tick_start:<7.1f} val_ssim {val_ssim:.4f} {msg}")
+            collector.write_jsonl(
+                os.path.join(run_dir, "stats.jsonl"),
+                extra={"kimg": cur_nimg / 1000, "Metrics/val_ssim": val_ssim},
+            )
+            if tb_writer is not None:
+                for name, v in fields.items():
+                    tb_writer.add_scalar(name, v["mean"], global_step=cur_nimg)
+                tb_writer.add_scalar("Metrics/val_ssim", val_ssim,
+                                     global_step=cur_nimg)
+                tb_writer.flush()
+            if val_ssim > best_ssim:
+                best_ssim = val_ssim
+                save_snapshot(os.path.join(run_dir, "network-snapshot-best.npz"),
+                              jax.device_get(state), config=options)
+            save_snapshot(os.path.join(run_dir, "network-snapshot-latest.npz"),
+                          jax.device_get(state), config=options)
+            save_image_grid(np.asarray(val_images),
+                            os.path.join(run_dir, f"fakes-{cur_nimg // 1000:06d}.png"))
             tick_start = now
             if tick_idx % cfg.snapshot_ticks == 0:
                 host_state = jax.device_get(state)

@@ -1,0 +1,178 @@
+"""Tests for the on-disk dataset loaders (fabricated layouts) and metrics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gnerf_tpu.training import (
+    Afhqv2Dataset,
+    FFHQGenDataset,
+    ShapeNetDataset,
+    TestDataset,
+    VGG16LPIPS,
+    collate,
+)
+from gnerf_tpu.training.metrics import (
+    feature_statistics,
+    frechet_distance,
+    frechet_feature_distance,
+    make_vgg_feature_fn,
+    psnr,
+    reconstruction_metrics,
+)
+
+
+def _write_img(path, h=32, w=32, seed=0):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(path)
+
+
+def _label():
+    return list(np.eye(4).flatten().astype(float)) + list(
+        np.asarray([[4.26, 0, 0.5], [0, 4.26, 0.5], [0, 0, 1]]).flatten()
+    )
+
+
+def _make_gen_pairs(root, ids=("00001", "00002"), per_id_dirs=True):
+    os.makedirs(root, exist_ok=True)
+    poses = {}
+    depths = {}
+    for i, name in enumerate(ids):
+        d = os.path.join(root, name) if per_id_dirs else os.path.join(root, f"dir{i}")
+        os.makedirs(d, exist_ok=True)
+        f = os.path.join(d, f"{name}_f.jpg")
+        s = os.path.join(d, f"{name}_s.jpg")
+        _write_img(f, seed=i)
+        _write_img(s, seed=100 + i)
+        poses[f"{name}_f.json"] = _label()
+        poses[f"{name}_s.json"] = _label()
+        depths[f"{name}_f"] = np.random.rand(1, 16, 16).astype(np.float32)
+        depths[f"{name}_s"] = np.random.rand(1, 16, 16).astype(np.float32)
+    with open(os.path.join(root, "pose_labels.json"), "w") as fh:
+        json.dump(poses, fh)
+    np.save(os.path.join(root, "depth_images.npy"), depths, allow_pickle=True)
+
+
+def _make_real_ffhq(root, n=4):
+    os.makedirs(os.path.join(root, "cropped_image"), exist_ok=True)
+    os.makedirs(os.path.join(root, "label"), exist_ok=True)
+    labels = {}
+    for i in range(n):
+        name = f"{i:05d}.jpg"
+        _write_img(os.path.join(root, "cropped_image", name), seed=200 + i)
+        labels[name.replace(".jpg", ".png")] = _label()
+    with open(os.path.join(root, "label", "labels.json"), "w") as fh:
+        json.dump(labels, fh)
+
+
+def test_ffhq_gen_dataset(tmp_path):
+    gen_root = str(tmp_path / "gen")
+    real_root = str(tmp_path / "real")
+    _make_gen_pairs(gen_root)
+    _make_real_ffhq(real_root)
+    ds = FFHQGenDataset(path=gen_root, real_path=real_root, held_out=1, seed=0)
+    assert len(ds) >= 2
+    for idx in range(4):
+        item = ds[idx]
+        assert set(FFHQGenDataset.ITEM_KEYS) <= set(item.keys())
+        assert item["condition_image"].shape[0] == 3
+        assert item["condition_c"].shape == (25,)
+        assert item["c_depth_image"].shape == (1, 16, 16)
+        assert item["factor"] in (0.0, 1.0)
+    batch = collate([ds[0], ds[1]])
+    assert batch["loss_c"].shape == (2, 25)
+
+
+def test_test_dataset(tmp_path):
+    real_root = str(tmp_path / "real")
+    _make_real_ffhq(real_root, n=5)
+    ds = TestDataset(real_path=real_root, held_out=3)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["condition_image"].shape[0] == 3
+    assert item["loss_c"].shape == (25,)
+
+
+def test_afhq_dataset(tmp_path):
+    gen_root = str(tmp_path / "gen")
+    real_root = str(tmp_path / "afhq")
+    _make_gen_pairs(gen_root)
+    os.makedirs(os.path.join(real_root, "train", "cat"), exist_ok=True)
+    os.makedirs(os.path.join(real_root, "train", "label"), exist_ok=True)
+    labels = {}
+    for i in range(3):
+        name = f"cat{i}.png"
+        _write_img(os.path.join(real_root, "train", "cat", name), seed=i)
+        labels[name] = _label()
+    with open(os.path.join(real_root, "train", "label", "labels.json"), "w") as fh:
+        json.dump(labels, fh)
+    ds = Afhqv2Dataset(path=gen_root, real_path=real_root)
+    item = ds[0]
+    assert item["condition_c"].shape == (25,)
+
+
+def test_shapenet_dataset(tmp_path):
+    gen_root = str(tmp_path / "gen")
+    real_root = str(tmp_path / "srn")
+    _make_gen_pairs(gen_root)
+    os.makedirs(os.path.join(real_root, "views"), exist_ok=True)
+    os.makedirs(os.path.join(real_root, "label"), exist_ok=True)
+    rel_names = []
+    labels = {}
+    for i in range(3):
+        rel = os.path.join("views", f"v{i}.png")
+        _write_img(os.path.join(real_root, rel), seed=i)
+        rel_names.append(rel)
+        labels[rel] = _label()
+    with open(os.path.join(real_root, "train_up_sphere.txt"), "w") as fh:
+        fh.write("\n".join(rel_names))
+    with open(os.path.join(real_root, "label", "labels.json"), "w") as fh:
+        json.dump(labels, fh)
+    ds = ShapeNetDataset(path=gen_root, real_path=real_root)
+    item = ds[0]
+    assert item["condition_c"].shape == (25,)
+
+
+def test_psnr():
+    a = jnp.zeros((2, 3, 8, 8))
+    b = jnp.full((2, 3, 8, 8), 0.2)
+    out = np.asarray(psnr(a, b))
+    want = 10 * np.log10(4.0 / 0.04)
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+    # identical -> huge psnr
+    assert float(psnr(a, a)[0]) > 100
+
+
+def test_reconstruction_metrics_and_frechet():
+    vgg = VGG16LPIPS(resize_to=32)
+    pv = vgg.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.rand(4, 3, 16, 16).astype(np.float32) * 2 - 1)
+    fake = jnp.clip(real + 0.1, -1, 1)
+    m = reconstruction_metrics(vgg, pv, real, fake)
+    assert set(m) == {"psnr", "ssim", "lpips"}
+    assert 10 < float(m["psnr"]) < 40
+
+    # Frechet distance: identical distributions -> ~0; shifted -> > 0.
+    feats = rng.randn(500, 8)
+    mu1, s1 = feature_statistics(feats)
+    mu2, s2 = feature_statistics(feats + 0.0)
+    assert abs(frechet_distance(mu1, s1, mu2, s2)) < 1e-6
+    mu3, s3 = feature_statistics(feats + 2.0)
+    assert frechet_distance(mu1, s1, mu3, s3) > 1.0
+
+    fn = make_vgg_feature_fn(vgg, pv)
+    fd_same = frechet_feature_distance(fn, [np.asarray(real)], [np.asarray(real)])
+    fd_diff = frechet_feature_distance(
+        fn, [np.asarray(real)],
+        [rng.rand(4, 3, 16, 16).astype(np.float32) * 2 - 1],
+    )
+    assert abs(fd_same) < 1e-4
+    assert fd_diff > fd_same

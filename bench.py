@@ -47,7 +47,8 @@ def main():
     @jax.jit
     def prepare(params, z, c):
         ws = g.mapping(params, z, c)
-        planes = g.backbone_planes(params, ws, noise_mode="const", dtype=dtype)
+        planes = g.backbone_planes(params, ws, noise_mode="const", dtype=dtype,
+                                   pack=True)
         return ws, planes
 
     # Per-clip work: every frame of the orbit in ONE jitted program

@@ -178,16 +178,23 @@ class TriPlaneGenerator:
 
     def backbone_planes(self, params: Params, ws: jax.Array,
                         noise_mode: str = "const", rng=None,
-                        dtype=jnp.float32) -> jax.Array:
-        """ws -> tri-plane features [N, 3, C, H, W]."""
+                        dtype=jnp.float32, pack: bool = False):
+        """ws -> tri-plane features [N, 3, C, H, W] (or PackedPlanes when
+        pack=True — the fast single-gather layout; pack once per identity
+        and reuse across every frame of an orbit)."""
         planes = self.backbone.synthesis.apply(
             params["backbone"]["synthesis"], ws,
             noise_mode=noise_mode, rng=rng, dtype=dtype,
         )
         N = planes.shape[0]
-        return planes.reshape(
+        planes = planes.reshape(
             N, 3, self.plane_channels, planes.shape[-2], planes.shape[-1]
         )
+        if pack:
+            from ..render.renderer import pack_planes
+
+            return pack_planes(planes)
+        return planes
 
     def render_planes(
         self,

@@ -5,10 +5,13 @@ from .math_utils import get_ray_limits_box, linspace_batched, normalize_vecs
 from .ray_marcher import march_rays
 from .ray_sampler import sample_rays
 from .renderer import (
+    PackedPlanes,
+    pack_planes,
     project_onto_planes,
     render_rays,
     run_model,
     sample_from_planes,
+    sample_packed_planes,
     unify_samples,
 )
 
@@ -17,6 +20,9 @@ __all__ = [
     "linspace_batched",
     "march_rays",
     "normalize_vecs",
+    "PackedPlanes",
+    "pack_planes",
+    "sample_packed_planes",
     "project_onto_planes",
     "render_rays",
     "run_model",

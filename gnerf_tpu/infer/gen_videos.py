@@ -92,6 +92,7 @@ def generate_videos(
     seed_init: Optional[int] = None,
     shape_res: int = 512,
     truncation_psi: float = 1.0,
+    fp32: bool = False,
 ):
     from ..models import ResNeXt50Encoder, TriPlaneGenerator
     from ..utils import checkpoint as ckpt
@@ -125,6 +126,7 @@ def generate_videos(
     g = dataclasses.replace(g, rendering_kwargs=rk)
 
     # --- identity-level compute (once) ---------------------------------------
+    compute_dtype = jnp.bfloat16 if not fp32 else jnp.float32
     imgs = jnp.asarray(id_images, jnp.float32) / 127.5 - 1.0
 
     @jax.jit
@@ -132,17 +134,32 @@ def generate_videos(
         z, _ = enc.apply(params_e, state_e, imgs, train=False)
         c0 = jnp.zeros((z.shape[0], 25))
         ws = g.mapping(params_g, z, c0, truncation_psi=truncation_psi)
-        planes = g.backbone_planes(params_g, ws, noise_mode="const")
+        planes = g.backbone_planes(params_g, ws, noise_mode="const",
+                                   dtype=compute_dtype, pack=True)
         return ws, planes
 
     ws, planes = encode_and_prepare(params_e, state_e, params_g, imgs)
 
+    # Render a CHUNK of frames per program (lax.map) and convert to uint8
+    # in-graph — one device round trip per chunk instead of per frame.
+    chunk = max(1, min(8, frames))
+
     @jax.jit
-    def render_frame(params_g, planes, ws, c):
-        return g.render_planes(
-            params_g, planes, c, ws, neural_rendering_resolution=res,
-            noise_mode="const",
-        )
+    def render_chunk(params_g, planes, ws, cs):
+        def one(c):
+            out = g.render_planes(
+                params_g, planes, jnp.tile(c[None], (n_ids, 1)), ws,
+                neural_rendering_resolution=res, noise_mode="const",
+                dtype=compute_dtype,
+            )
+
+            def u8(img):
+                img = img.astype(jnp.float32) * 127.5 + 128
+                return jnp.clip(img, 0, 255).astype(jnp.uint8)
+
+            return u8(out["image"]), u8(out["image_raw"])
+
+        return jax.lax.map(one, cs)
 
     # --- video loop ----------------------------------------------------------
     name = os.path.basename(prepared or id_image).split(".")[0]
@@ -151,14 +168,22 @@ def generate_videos(
 
     writer = VideoWriter(os.path.join(video_out_path, name + ".mp4"), fps=30)
     writer_raw = VideoWriter(os.path.join(video_out_path, name + "_raw.mp4"), fps=30)
-    for i in range(frames):
-        c = orbit_label(i, frames, dataset, rk, id_image or "")
-        c = jnp.tile(c, (n_ids, 1))
-        out = render_frame(params_g, planes, ws, c)
-        img = to_uint8(out["image"])
-        img_raw = to_uint8(out["image_raw"])
-        writer.append_data(np.concatenate(list(img), axis=1))
-        writer_raw.append_data(np.concatenate(list(img_raw), axis=1))
+    labels = jnp.concatenate(
+        [orbit_label(i, frames, dataset, rk, id_image or "")
+         for i in range(frames)], axis=0,
+    )
+    for start in range(0, frames, chunk):
+        cs = labels[start : start + chunk]
+        if cs.shape[0] < chunk:  # pad to the static chunk size
+            pad = jnp.tile(cs[-1:], (chunk - cs.shape[0], 1))
+            cs = jnp.concatenate([cs, pad], axis=0)
+        imgs_u8, raws_u8 = jax.device_get(render_chunk(params_g, planes, ws, cs))
+        n_valid = min(chunk, frames - start)
+        for i in range(n_valid):
+            frame_img = imgs_u8[i].transpose(0, 2, 3, 1)
+            frame_raw = raws_u8[i].transpose(0, 2, 3, 1)
+            writer.append_data(np.concatenate(list(frame_img), axis=1))
+            writer_raw.append_data(np.concatenate(list(frame_raw), axis=1))
     writer.close()
     writer_raw.close()
     print(f"wrote {writer.output_path} ({frames} frames)")
@@ -190,6 +215,8 @@ def generate_videos(
 @click.option("--seed-init", "seed_init", type=int, default=None,
               help="Random-init networks instead of loading a checkpoint")
 @click.option("--shape-res", "shape_res", type=int, default=512)
+@click.option("--fp32", is_flag=True, default=False,
+              help="Full fp32 compute (default: bf16 backbone/SR)")
 def main(**kwargs):
     generate_videos(**kwargs)
 

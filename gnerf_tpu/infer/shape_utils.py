@@ -63,7 +63,7 @@ def extract_sigma_grid(
     samples, _, _ = create_samples(voxel_resolution, cube_length)
     total = samples.shape[1]
 
-    planes = g.backbone_planes(params_g, ws, noise_mode="const")
+    planes = g.backbone_planes(params_g, ws, noise_mode="const", pack=True)
     decoder = g.decoder
     opts = dict(g.rendering_kwargs)
 

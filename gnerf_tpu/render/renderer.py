@@ -97,19 +97,26 @@ def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
     coordinates: [N, M, 3] -> [N, 3, M, C]."""
     N, n_planes, C = packed.n, 3, packed.c
     H, W, ky, kx = packed.h, packed.w, packed.ky, packed.kx
+    assert H == W, "packed sampling assumes square planes"
     M = coordinates.shape[1]
-    coords = (2.0 / box_warp) * coordinates
-    uv = project_onto_planes(coords)  # [N, 3, M, 2]
-
-    x = ((uv[..., 0] + 1.0) * W - 1.0) / 2.0
-    y = ((uv[..., 1] + 1.0) * H - 1.0) / 2.0
-    x0f = jnp.floor(x)
-    y0f = jnp.floor(y)
     dtype = packed.rows.dtype
-    wx = (x - x0f).astype(dtype)
-    wy = (y - y0f).astype(dtype)
-    x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
+
+    # Per-AXIS pixel coords computed once (each axis feeds two plane UVs:
+    # planes use (x,y), (x,z), (z,x)) — halves the floor/frac chain vs
+    # per-plane unnormalization.
+    p_axis = ((2.0 / box_warp) * coordinates + 1.0) * W
+    p_axis = (p_axis - 1.0) / 2.0  # [N, M, 3]
+    p0f = jnp.floor(p_axis)
+    w_axis = (p_axis - p0f).astype(dtype)
+    i_axis = p0f.astype(jnp.int32)
+
+    def per_plane(a):  # [N, M, 3-indexed] -> [N, 3, M]
+        return jnp.stack([a[..., 0], a[..., 0], a[..., 2]], axis=1), jnp.stack(
+            [a[..., 1], a[..., 2], a[..., 0]], axis=1
+        )
+
+    x0, y0 = per_plane(i_axis)
+    wx, wy = per_plane(w_axis)
 
     xp = x0 + 1  # padded coords; footprint x0 = -1 maps to cell column 0
     yp = y0 + 1

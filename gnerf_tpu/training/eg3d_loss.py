@@ -148,7 +148,7 @@ def make_eg3d_train_step(
             tv = density_regularization(g, params_g, ws, k_reg, cfg)
             loss = loss + tv
             stats["Loss/G/density_reg"] = tv
-        return loss, stats
+        return loss, (stats, jax.lax.stop_gradient(ws[:, 0]))
 
     def d_loss_fn(params_d, params_g, z, c, real_img_full, real_c, rng, cur_nimg):
         gen_img, _ = run_g(jax.lax.stop_gradient(params_g), z, c, rng)
@@ -182,13 +182,24 @@ def make_eg3d_train_step(
         """batch: {'z': [N,z], 'c': [N,25], 'real_image': [N,3,R,R],
         'real_c': [N,25]}."""
         k_g, k_d = jax.random.split(rng)
-        (g_l, g_stats), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        (g_l, (g_stats, w_batch)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(
             state["params_g"], state["params_d"], batch["z"], batch["c"], k_g,
             state["cur_nimg"],
         )
         g_upd, opt_state_g = opt_g.update(g_grads, state["opt_state_g"],
                                           state["params_g"])
         params_g = optax.apply_updates(state["params_g"], g_upd)
+        # w_avg EMA (the reference's mapping update_emas): tracked for
+        # truncation at inference.
+        w_avg = params_g["backbone"]["mapping"].get("w_avg")
+        if w_avg is not None:
+            beta = 0.998
+            batch_mean = w_batch.mean(axis=0)
+            params_g["backbone"]["mapping"]["w_avg"] = (
+                batch_mean + (w_avg - batch_mean) * beta
+            )
 
         (d_l, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state["params_d"], params_g, batch["z"], batch["c"],

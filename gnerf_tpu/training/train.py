@@ -123,6 +123,12 @@ def run_training(
     gan_depth: bool = True,
     resume: str = "",
     dry_run: bool = False,
+    gen_pose_cond: bool = False,
+    c_scale: float = 1.0,
+    sr_module: str = "",
+    sr_noise_mode: str = "none",
+    density_reg: float = 0.25,
+    decoder_lr_mul: float = 1.0,
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -143,6 +149,16 @@ def run_training(
     preset = RENDERING_PRESETS[dataset_name]
     rendering_kwargs = dict(DEFAULT_RENDERING_KWARGS)
     rendering_kwargs.update(preset)
+    # Reference train.py:317-323 knobs.
+    rendering_kwargs.update(
+        c_gen_conditioning_zero=not gen_pose_cond,
+        c_scale=c_scale,
+        superresolution_noise_mode=sr_noise_mode,
+        density_reg=density_reg,
+        decoder_lr_mul=decoder_lr_mul,
+    )
+    if sr_module:
+        rendering_kwargs["superresolution_module"] = sr_module
     img_resolution = preset["image_resolution"]
 
     g = TriPlaneGenerator(
@@ -323,6 +339,12 @@ def run_training(
 @click.option("--gan_depth", type=bool, default=True)
 @click.option("--resume", type=str, default="")
 @click.option("--dry-run", "dry_run", is_flag=True, default=False)
+@click.option("--gen_pose_cond", type=bool, default=False)
+@click.option("--c_scale", type=float, default=1.0)
+@click.option("--sr_module", type=str, default="")
+@click.option("--sr_noise_mode", type=str, default="none")
+@click.option("--density_reg", type=float, default=0.25)
+@click.option("--decoder_lr_mul", type=float, default=1.0)
 def main(**kwargs):
     run_training(**kwargs)
 

@@ -1,0 +1,100 @@
+"""Evaluation CLI: reconstruction metrics on a held-out set.
+
+The working replacement for the reference's broken `metrics.metric_main`
+surface (`train.py:31,297-298`): encode each held-out identity, re-render
+it at its own camera, and report PSNR / SSIM / LPIPS (plus per-item
+values in a jsonl). Runs the same validation math the trainer uses, over
+a full dataset instead of one grid.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import click
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
+             max_items: int = 64, batch: int = 4, out: str = ""):
+    from ..models import ResNeXt50Encoder, TriPlaneGenerator
+    from ..utils import checkpoint as ckpt
+    from .dataset import SyntheticDataset, TestDataset, collate
+    from .losses import VGG16LPIPS
+    from .metrics import reconstruction_metrics
+
+    trees, config = ckpt.load_checkpoint(network)
+    gen_cfg = (config or {}).get("generator", {})
+    g = TriPlaneGenerator(**gen_cfg) if gen_cfg else TriPlaneGenerator(
+        img_resolution=128,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=12, depth_resolution_importance=12,
+        ),
+    )
+    enc = ResNeXt50Encoder(out_dim=g.z_dim)
+    params_g = trees.get("G_ema", trees.get("G"))
+    params_e = trees["E"]
+    state_e = trees.get("E_state")
+    if state_e is None:
+        _, state_e = enc.init(jax.random.PRNGKey(0))
+    vgg = VGG16LPIPS()
+    params_vgg = trees.get("VGG") or vgg.init(jax.random.PRNGKey(1))
+
+    if dataset_name == "synthetic":
+        dataset = SyntheticDataset(resolution=g.img_resolution, size=max_items)
+    else:
+        dataset = TestDataset(real_path=real_data, max_size=max_items)
+
+    @jax.jit
+    def eval_batch(params_e, state_e, params_g, params_vgg, batch_data):
+        imgs = batch_data["condition_image"].astype(jnp.float32) / 127.5 - 1.0
+        z, _ = enc.apply(params_e, state_e, imgs, train=False)
+        c = batch_data["loss_c"].astype(jnp.float32)
+        ws = g.mapping(params_g, z, c)
+        outd = g.synthesis(params_g, ws, c, noise_mode="none")
+        real = batch_data["loss_image"].astype(jnp.float32) / 127.5 - 1.0
+        return reconstruction_metrics(vgg, params_vgg, real, outd["image"])
+
+    results = []
+    n = min(max_items, len(dataset))
+    for start in range(0, n - n % batch, batch):
+        items = [dataset[i] for i in range(start, start + batch)]
+        bd = {k: jnp.asarray(v) for k, v in collate(items).items()
+              if k in ("condition_image", "loss_image", "loss_c")}
+        m = eval_batch(params_e, state_e, params_g, params_vgg, bd)
+        results.append({k: float(v) for k, v in m.items()})
+        print(f"[{start + batch}/{n}] " +
+              " ".join(f"{k}={v:.4f}" for k, v in results[-1].items()))
+
+    summary = {
+        k: float(np.mean([r[k] for r in results])) for k in results[0]
+    }
+    summary["num_items"] = len(results) * batch
+    print(json.dumps(summary))
+    if out:
+        with open(out, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+            f.write(json.dumps(summary) + "\n")
+    return summary
+
+
+@click.command()
+@click.option("--network", required=True)
+@click.option("--real_data", default="")
+@click.option("--dataset_name", default="synthetic")
+@click.option("--max_items", type=int, default=64)
+@click.option("--batch", type=int, default=4)
+@click.option("--out", default="")
+def main(**kwargs):
+    run_eval(**kwargs)
+
+
+if __name__ == "__main__":
+    main()

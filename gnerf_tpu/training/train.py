@@ -183,6 +183,14 @@ def run_training(
         "config": dataclasses.asdict(
             dataclasses.replace(cfg, dtype=str(np.dtype(np.float32)))
         ),
+        # Self-describing checkpoints: enough to reconstruct G at load time.
+        "generator": {
+            "z_dim": z_dim, "w_dim": w_dim, "img_resolution": img_resolution,
+            "rendering_kwargs": {
+                k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in rendering_kwargs.items()
+            },
+        },
         "rendering_kwargs": {
             k: (list(v) if isinstance(v, tuple) else v)
             for k, v in rendering_kwargs.items()

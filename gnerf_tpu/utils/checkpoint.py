@@ -13,6 +13,7 @@ rewrites it into our tree layout.
 from __future__ import annotations
 
 import json
+import os
 import re
 from typing import Any, Mapping, Optional
 
@@ -104,6 +105,37 @@ def copy_params(src_tree: Any, dst_tree: Any, verbose: bool = True) -> Any:
                 print(f"copy_params: {name} missing in src, keeping dst")
             out[name] = value
     return unflatten_tree(out)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional; same tree layout, async-capable, multi-host-safe)
+
+
+def save_checkpoint_orbax(path: str, trees: Mapping[str, Any],
+                          config: Optional[Mapping[str, Any]] = None) -> None:
+    """Save via orbax (directory-based; preferred for large multi-host runs)."""
+    import orbax.checkpoint as ocp
+
+    payload = dict(trees)
+    if config is not None:
+        payload["__config__"] = {
+            "json": np.frombuffer(json.dumps(config).encode(), dtype=np.uint8).copy()
+        }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str) -> tuple[dict[str, Any], Optional[dict]]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path))
+    config = None
+    if "__config__" in payload:
+        raw = np.asarray(payload.pop("__config__")["json"], dtype=np.uint8)
+        config = json.loads(raw.tobytes().decode())
+    return dict(payload), config
 
 
 # ---------------------------------------------------------------------------

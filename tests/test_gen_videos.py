@@ -1,0 +1,59 @@
+"""Tests for inference helpers: orbit labels, uint8 conversion, video IO."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gnerf_tpu.infer.gen_videos import normalize_depth, orbit_label, to_uint8
+from gnerf_tpu.infer.video_io import VideoWriter
+from gnerf_tpu.models.triplane import DEFAULT_RENDERING_KWARGS
+
+
+def test_orbit_label_shapes_and_orbit():
+    rk = dict(DEFAULT_RENDERING_KWARGS)
+    labels = [np.asarray(orbit_label(i, 120, "ffhq", rk)) for i in (0, 30, 60)]
+    for lab in labels:
+        assert lab.shape == (1, 25)
+        c2w = lab[0, :16].reshape(4, 4)
+        # Camera stays on the avg radius orbit.
+        np.testing.assert_allclose(np.linalg.norm(c2w[:3, 3]),
+                                   rk["avg_camera_radius"], rtol=1e-4)
+        # Intrinsics: FFHQ focal.
+        np.testing.assert_allclose(lab[0, 16], 4.2647, rtol=1e-5)
+    # Orbit actually moves.
+    assert not np.allclose(labels[0], labels[1])
+    # ShapeNet branch.
+    sn = np.asarray(orbit_label(5, 120, "shapenet", rk, "chairs"))
+    assert sn.shape == (1, 25)
+    np.testing.assert_allclose(np.linalg.norm(sn[0, :16].reshape(4, 4)[:3, 3]),
+                               2.0, rtol=1e-4)
+
+
+def test_to_uint8_and_normalize_depth():
+    img = np.zeros((1, 3, 4, 4), np.float32)
+    img[0, 0] = -1.0
+    img[0, 1] = 0.0
+    img[0, 2] = 1.0
+    out = to_uint8(img)
+    assert out.shape == (1, 4, 4, 3) and out.dtype == np.uint8
+    assert out[0, 0, 0, 0] == 0 and out[0, 0, 0, 1] == 128 and out[0, 0, 0, 2] == 255
+
+    depth = np.linspace(2.0, 3.0, 16).reshape(4, 4)
+    nd = normalize_depth(depth)
+    assert nd.dtype == np.uint8
+    assert nd.min() == 0 and nd.max() == 255
+
+
+def test_video_writer_png_fallback(tmp_path):
+    path = str(tmp_path / "clip.mp4")
+    w = VideoWriter(path, fps=30)
+    frame = np.random.RandomState(0).randint(0, 255, (16, 16, 3), np.uint8)
+    for _ in range(3):
+        w.append_data(frame)
+    w.close()
+    out = w.output_path
+    if out.endswith(".mp4"):
+        assert os.path.getsize(out) > 0
+    else:  # PNG fallback dir (no ffmpeg in this env)
+        assert sorted(os.listdir(out)) == ["00000.png", "00001.png", "00002.png"]

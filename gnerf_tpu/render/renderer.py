@@ -95,9 +95,13 @@ def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
     """Bilinear tri-plane sampling from PackedPlanes: one row-gather total.
 
     coordinates: [N, M, 3] -> [N, 3, M, C]."""
-    N, n_planes, C = packed.n, 3, packed.c
+    N = coordinates.shape[0]
+    n_planes, C = 3, packed.c
     H, W, ky, kx = packed.h, packed.w, packed.ky, packed.kx
     assert H == W, "packed sampling assumes square planes"
+    assert packed.n in (N, 1), (
+        f"planes batch {packed.n} incompatible with coords batch {N}"
+    )
     M = coordinates.shape[1]
     dtype = packed.rows.dtype
 
@@ -124,7 +128,12 @@ def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
     b = yp & 1
     cellx = jnp.clip((xp - a) >> 1, 0, kx - 1)
     celly = jnp.clip((yp - b) >> 1, 0, ky - 1)
-    base = jnp.arange(N * n_planes, dtype=jnp.int32).reshape(N, n_planes, 1)
+    if packed.n == 1 and N > 1:
+        # One identity's planes shared by a batch of frames (multi-frame
+        # rendering): broadcast the plane base over the coord batch.
+        base = jnp.arange(n_planes, dtype=jnp.int32).reshape(1, n_planes, 1)
+    else:
+        base = jnp.arange(N * n_planes, dtype=jnp.int32).reshape(N, n_planes, 1)
     rows = (((base * 2 + b) * 2 + a) * ky + celly) * kx + cellx
 
     gathered = jnp.take_along_axis(

@@ -55,6 +55,20 @@ def test_packed_render_matches_unpacked():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_packed_broadcast_multi_frame():
+    """One identity's packed planes shared across a frame batch must equal
+    per-frame rendering (the multi-frame batching path)."""
+    rng = np.random.RandomState(5)
+    planes = jnp.asarray(rng.randn(1, 3, 8, 16, 16), jnp.float32)
+    packed = pack_planes(planes)
+    pts = jnp.asarray(rng.uniform(-0.45, 0.45, (3, 100, 3)), jnp.float32)
+    got = sample_packed_planes(packed, pts, box_warp=1.0)  # coords batch 3
+    for i in range(3):
+        want = sample_packed_planes(packed, pts[i : i + 1], box_warp=1.0)
+        np.testing.assert_allclose(np.asarray(got[i : i + 1]), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_triplane_generator_packed_path():
     from gnerf_tpu.models import TriPlaneGenerator
     from gnerf_tpu.utils import camera

@@ -90,6 +90,92 @@ def make_validator(g, enc, cfg):
     return validate_batch
 
 
+def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
+                       data, real_data, batch, gamma, kimg, tick, seed,
+                       run_dir, options):
+    """EG3D adversarial pretraining (z, c) -> image — the stage that
+    produces the generator G-NeRF fine-tunes (reference loss.py spec,
+    implemented live in eg3d_loss.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.dual_discriminator import DualDiscriminator
+    from ..parallel import make_mesh
+    from ..utils.stats import Collector
+    from .dataset import FFHQGenDataset, SyntheticDataset, data_iterator
+    from .eg3d_loss import EG3DLossConfig, init_eg3d_state, make_eg3d_train_step
+    from ..utils import checkpoint as ckpt_lib
+
+    disc = DualDiscriminator(c_dim=25, img_resolution=img_resolution,
+                             img_channels=3)
+    cfg = EG3DLossConfig(
+        r1_gamma=gamma,
+        neural_rendering_resolution=g.neural_rendering_resolution,
+        density_reg=rendering_kwargs.get("density_reg", 0.25),
+        gpc_reg_prob=rendering_kwargs.get("gpc_reg_prob", 0.5),
+    )
+    step_fn, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
+    state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(seed))
+
+    if dataset_name == "synthetic":
+        dataset = SyntheticDataset(resolution=img_resolution)
+    else:
+        dataset = FFHQGenDataset(path=data, real_path=real_data or None,
+                                 resolution=img_resolution)
+    batches = data_iterator(dataset, batch_size=batch, seed=seed)
+
+    mesh = make_mesh()
+    repl = NamedSharding(mesh, P())
+    dsh1 = NamedSharding(mesh, P("data"))
+    dsh2 = NamedSharding(mesh, P("data", None))
+    dsh4 = NamedSharding(mesh, P("data", None, None, None))
+    batch_sh = {"z": dsh2, "c": dsh2, "real_image": dsh4, "real_c": dsh2}
+    state = jax.device_put(state, repl)
+    step = jax.jit(step_fn, in_shardings=(repl, batch_sh, repl),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
+
+    collector = Collector()
+    cur_nimg, tick_idx, tick_start = 0, 0, time.time()
+    rng = jax.random.PRNGKey(seed + 1)
+    print(f"EG3D pretraining for {kimg} kimg in {run_dir} ...")
+    while cur_nimg < kimg * 1000:
+        rng, kz, ks = jax.random.split(rng, 3)
+        raw = next(batches)
+        gan_batch = {
+            "z": jax.device_put(jax.random.normal(kz, (batch, g.z_dim)), dsh2),
+            "c": jax.device_put(jnp.asarray(raw["loss_c"], jnp.float32), dsh2),
+            "real_image": jax.device_put(
+                jnp.asarray(raw["loss_image"], jnp.float32) / 127.5 - 1.0, dsh4
+            ),
+            "real_c": jax.device_put(
+                jnp.asarray(raw["loss_c"], jnp.float32), dsh2
+            ),
+        }
+        state, stats = step(state, gan_batch, jax.device_put(ks, repl))
+        cur_nimg += batch
+        for name, value in stats.items():
+            collector.report(name, value)
+        if cur_nimg >= (tick_idx + 1) * tick * 1000 or cur_nimg >= kimg * 1000:
+            tick_idx += 1
+            fields = collector.update()
+            msg = " ".join(f"{k.split('/')[-1]} {v['mean']:.4f}"
+                           for k, v in fields.items())
+            now = time.time()
+            print(f"tick {tick_idx:<4d} kimg {cur_nimg / 1000:<7.1f} "
+                  f"sec/tick {now - tick_start:<7.1f} {msg}")
+            collector.write_jsonl(os.path.join(run_dir, "stats.jsonl"),
+                                  extra={"kimg": cur_nimg / 1000})
+            tick_start = now
+            host = jax.device_get(state)
+            ckpt_lib.save_checkpoint(
+                os.path.join(run_dir, "network-snapshot-latest.npz"),
+                {"G_ema": host["params_g_ema"], "G": host["params_g"],
+                 "D": host["params_d"]},
+                config=options,
+            )
+    print("done")
+    return run_dir
+
+
 def pick_run_dir(outdir: str, desc: str) -> str:
     os.makedirs(outdir, exist_ok=True)
     prev = [
@@ -129,6 +215,7 @@ def run_training(
     sr_noise_mode: str = "none",
     density_reg: float = 0.25,
     decoder_lr_mul: float = 1.0,
+    objective: str = "gnerf",
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -205,6 +292,12 @@ def run_training(
     run_dir = pick_run_dir(outdir, dataset_name)
     with open(os.path.join(run_dir, "training_options.json"), "w") as f:
         json.dump(options, f, indent=2)
+
+    if objective == "eg3d":
+        return _run_eg3d_training(
+            g, rendering_kwargs, img_resolution, dataset_name, data,
+            real_data, batch, gamma, kimg, tick, seed, run_dir, options,
+        )
 
     # Dataset.
     if dataset_name == "synthetic":
@@ -353,6 +446,10 @@ def run_training(
 @click.option("--sr_noise_mode", type=str, default="none")
 @click.option("--density_reg", type=float, default=0.25)
 @click.option("--decoder_lr_mul", type=float, default=1.0)
+@click.option("--objective", type=click.Choice(["gnerf", "eg3d"]),
+              default="gnerf",
+              help="gnerf = encoder-inversion training (the live reference "
+                   "loop); eg3d = adversarial (z,c)->image pretraining")
 def main(**kwargs):
     run_training(**kwargs)
 

@@ -56,7 +56,7 @@ def main():
     # one batched program (shared packed planes broadcast over the frame
     # batch). Batching frames improves MXU/HBM utilization ~25% on v5e.
     n_frames = 30
-    frames_per_batch = 10
+    frames_per_batch = 15
 
     def clip(params, planes, ws, cs):
         wsb = jnp.broadcast_to(ws, (frames_per_batch,) + ws.shape[1:])

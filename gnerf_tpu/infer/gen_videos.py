@@ -93,6 +93,7 @@ def generate_videos(
     shape_res: int = 512,
     truncation_psi: float = 1.0,
     fp32: bool = False,
+    label_path: Optional[str] = None,
 ):
     from ..models import ResNeXt50Encoder, TriPlaneGenerator
     from ..utils import checkpoint as ckpt
@@ -168,10 +169,19 @@ def generate_videos(
 
     writer = VideoWriter(os.path.join(video_out_path, name + ".mp4"), fps=30)
     writer_raw = VideoWriter(os.path.join(video_out_path, name + "_raw.mp4"), fps=30)
-    labels = jnp.concatenate(
-        [orbit_label(i, frames, dataset, rk, id_image or "")
-         for i in range(frames)], axis=0,
-    )
+    if label_path:
+        # Render user-provided 25-dim camera labels instead of the orbit
+        # (json: list of labels or {name: label}).
+        with open(label_path) as f:
+            raw = json.load(f)
+        vals = list(raw.values()) if isinstance(raw, dict) else raw
+        labels = jnp.asarray(np.asarray(vals, dtype=np.float32))
+        frames = labels.shape[0]
+    else:
+        labels = jnp.concatenate(
+            [orbit_label(i, frames, dataset, rk, id_image or "")
+             for i in range(frames)], axis=0,
+        )
     for start in range(0, frames, chunk):
         cs = labels[start : start + chunk]
         if cs.shape[0] < chunk:  # pad to the static chunk size
@@ -217,6 +227,8 @@ def generate_videos(
 @click.option("--shape-res", "shape_res", type=int, default=512)
 @click.option("--fp32", is_flag=True, default=False,
               help="Full fp32 compute (default: bf16 backbone/SR)")
+@click.option("--label_path", default=None,
+              help="JSON of 25-dim camera labels to render instead of the orbit")
 def main(**kwargs):
     generate_videos(**kwargs)
 

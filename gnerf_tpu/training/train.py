@@ -292,6 +292,9 @@ def run_training(
     run_dir = pick_run_dir(outdir, dataset_name)
     with open(os.path.join(run_dir, "training_options.json"), "w") as f:
         json.dump(options, f, indent=2)
+    from ..utils.logger import Logger
+
+    Logger(os.path.join(run_dir, "log.txt"))  # tee stdout/stderr to the run dir
 
     if objective == "eg3d":
         return _run_eg3d_training(

@@ -313,13 +313,17 @@ def render_rays(
             ray_origins, ray_directions, box_side_length=options["box_warp"]
         )
         is_valid = ray_end > ray_start
-        # Branchless version of the reference fix-up: invalid rays get
-        # (min, max) of the valid ray starts.
+        # Branchless version of the reference fix-up (`renderer.py:94-96`):
+        # invalid rays get start=min(valid starts) and end=max(valid STARTS)
+        # — the reference's max is over ray_start too, not ray_end. When NO
+        # ray is valid the reference skips the fix-up entirely (its
+        # torch.any guard); mirror that by keeping the original limits.
         big = jnp.inf
         vmin = jnp.min(jnp.where(is_valid, ray_start, big))
         vmax = jnp.max(jnp.where(is_valid, ray_start, -big))
-        ray_start = jnp.where(is_valid, ray_start, vmin)
-        ray_end = jnp.where(is_valid, ray_end, vmax)
+        keep = is_valid | ~jnp.any(is_valid)
+        ray_start = jnp.where(keep, ray_start, vmin)
+        ray_end = jnp.where(keep, ray_end, vmax)
     else:
         ray_start, ray_end = options["ray_start"], options["ray_end"]
 

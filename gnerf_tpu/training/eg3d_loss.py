@@ -51,10 +51,21 @@ class EG3DLossConfig:
     dlr: float = 0.002
 
 
-def blur_sigma_schedule(cur_nimg, cfg: EG3DLossConfig):
-    if cfg.blur_fade_kimg <= 0:
+def blur_sigma_schedule(cur_nimg: float, cfg: EG3DLossConfig) -> float:
+    """Host-side (python float) blur fade — reference `loss.py:89`. Computed
+    OUTSIDE jit because the kernel extent it implies must be static; the
+    sigma value itself is then passed into the step as a traced scalar."""
+    if cfg.blur_fade_kimg <= 0 or cfg.blur_init_sigma <= 0:
         return 0.0
-    return jnp.maximum(1 - cur_nimg / (cfg.blur_fade_kimg * 1e3), 0) * cfg.blur_init_sigma
+    return max(1 - cur_nimg / (cfg.blur_fade_kimg * 1e3), 0.0) * cfg.blur_init_sigma
+
+
+def blur_kernel_size(blur_sigma: float) -> int:
+    """Static FIR half-extent for a given sigma (reference `loss.py:75`).
+    The train driver re-jits per distinct size (a bounded, ~3*sigma_init
+    set of buckets — the same recompile granularity EG3D's dynamic kernel
+    effectively has)."""
+    return int(np.floor(float(blur_sigma) * 3))
 
 
 def swapping_prob_schedule(cur_nimg, cfg: EG3DLossConfig):
@@ -74,10 +85,11 @@ def swapped_conditioning(rng, c: jax.Array, swapping_prob) -> jax.Array:
     return jnp.where(pick, c_swapped, c)
 
 
-def blur_image(img: jax.Array, blur_sigma: float, max_blur_size: int = 12) -> jax.Array:
+def blur_image(img: jax.Array, blur_sigma, blur_size: int) -> jax.Array:
     """Gaussian-ish (2^-x^2) blur with the reference's kernel
-    (`loss.py:75-78`); static kernel size from the CURRENT sigma."""
-    blur_size = int(np.floor(float(blur_sigma) * 3))
+    (`loss.py:75-78`). `blur_size` is a STATIC python int (fixes the FIR
+    extent for jit); `blur_sigma` may be a traced scalar so the fade varies
+    step-to-step without recompiling."""
     if blur_size <= 0:
         return img
     x = jnp.arange(-blur_size, blur_size + 1) / blur_sigma
@@ -121,25 +133,27 @@ def make_eg3d_train_step(
         opt_d = optax.adam(cfg.dlr, b1=0.0, b2=0.99, eps=1e-8)
     res = cfg.neural_rendering_resolution
 
-    def run_g(params_g, z, c, rng):
+    def run_g(params_g, z, c, rng, cur_nimg):
         k_swap, k_noise = jax.random.split(rng)
-        swapping_prob = swapping_prob_schedule(0, cfg)
+        # gpc_reg fade rides the live step count (traced scalar): 1.0 ->
+        # gpc_reg_prob over gpc_reg_fade_kimg, reference `loss.py:96-97`.
+        swapping_prob = swapping_prob_schedule(cur_nimg, cfg)
         c_cond = swapped_conditioning(k_swap, c, swapping_prob)
         ws = g.backbone.mapping.apply(params_g["backbone"]["mapping"], z, c_cond)
         out = g.synthesis(params_g, ws, c, neural_rendering_resolution=res,
                           noise_mode="random", rng=k_noise)
         return out, ws
 
-    def run_d(params_d, img, c, blur_sigma=0.0):
+    def run_d(params_d, img, c, blur_sigma=0.0, blur_size: int = 0):
         img = dict(img)
-        if blur_sigma > 0:
-            img["image"] = blur_image(img["image"], blur_sigma)
+        if blur_size > 0:
+            img["image"] = blur_image(img["image"], blur_sigma, blur_size)
         return disc.apply(params_d, img, c)
 
-    def g_loss_fn(params_g, params_d, z, c, rng, cur_nimg):
+    def g_loss_fn(params_g, params_d, z, c, rng, cur_nimg, blur_sigma, blur_size):
         k_g, k_reg = jax.random.split(rng)
-        gen_img, ws = run_g(params_g, z, c, k_g)
-        gen_logits = run_d(params_d, gen_img, c)
+        gen_img, ws = run_g(params_g, z, c, k_g, cur_nimg)
+        gen_logits = run_d(params_d, gen_img, c, blur_sigma, blur_size)
         loss_gmain = jax.nn.softplus(-gen_logits).mean()
         loss = loss_gmain
         stats = {"Loss/G/gan_loss": loss_gmain,
@@ -150,21 +164,24 @@ def make_eg3d_train_step(
             stats["Loss/G/density_reg"] = tv
         return loss, (stats, jax.lax.stop_gradient(ws[:, 0]))
 
-    def d_loss_fn(params_d, params_g, z, c, real_img_full, real_c, rng, cur_nimg):
-        gen_img, _ = run_g(jax.lax.stop_gradient(params_g), z, c, rng)
+    def d_loss_fn(params_d, params_g, z, c, real_img_full, real_c, rng, cur_nimg,
+                  blur_sigma, blur_size):
+        gen_img, _ = run_g(jax.lax.stop_gradient(params_g), z, c, rng, cur_nimg)
         gen_img = jax.tree_util.tree_map(jax.lax.stop_gradient, dict(gen_img))
-        gen_logits = run_d(params_d, gen_img, c)
+        gen_logits = run_d(params_d, gen_img, c, blur_sigma, blur_size)
         loss_dgen = jax.nn.softplus(gen_logits).mean()
 
         real_raw = interpolate_bilinear(real_img_full, res, res, antialias=True)
         real = {"image": real_img_full, "image_raw": real_raw}
-        real_logits = run_d(params_d, real, real_c)
+        real_logits = run_d(params_d, real, real_c, blur_sigma, blur_size)
         loss_dreal = jax.nn.softplus(-real_logits).mean()
 
-        # R1 through BOTH inputs for dual discrimination (`loss.py:195-200`).
+        # R1 through BOTH inputs for dual discrimination (`loss.py:195-200`);
+        # the gradient is taken w.r.t. the PRE-blur input, flowing through
+        # the blur, matching the reference's run_D-internal blur.
         def d_sum(image, image_raw):
             return run_d(params_d, {"image": image, "image_raw": image_raw},
-                         real_c).sum()
+                         real_c, blur_sigma, blur_size).sum()
 
         g_img, g_raw = jax.grad(d_sum, argnums=(0, 1))(real["image"], real["image_raw"])
         r1 = (jnp.sum(jnp.square(g_img), axis=(1, 2, 3))
@@ -178,15 +195,18 @@ def make_eg3d_train_step(
         }
         return loss_dgen + loss_dreal + loss_dr1, stats
 
-    def train_step(state: dict, batch: Mapping[str, jax.Array], rng: jax.Array):
+    def train_step(state: dict, batch: Mapping[str, jax.Array], rng: jax.Array,
+                   blur_sigma=0.0, *, blur_size: int = 0):
         """batch: {'z': [N,z], 'c': [N,25], 'real_image': [N,3,R,R],
-        'real_c': [N,25]}."""
+        'real_c': [N,25]}. `blur_sigma` is the traced fade value from
+        `blur_sigma_schedule`; `blur_size` the matching STATIC kernel extent
+        from `blur_kernel_size` (jit with static_argnames=('blur_size',))."""
         k_g, k_d = jax.random.split(rng)
         (g_l, (g_stats, w_batch)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
         )(
             state["params_g"], state["params_d"], batch["z"], batch["c"], k_g,
-            state["cur_nimg"],
+            state["cur_nimg"], blur_sigma, blur_size,
         )
         g_upd, opt_state_g = opt_g.update(g_grads, state["opt_state_g"],
                                           state["params_g"])
@@ -204,6 +224,7 @@ def make_eg3d_train_step(
         (d_l, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state["params_d"], params_g, batch["z"], batch["c"],
             batch["real_image"], batch["real_c"], k_d, state["cur_nimg"],
+            blur_sigma, blur_size,
         )
         d_upd, opt_state_d = opt_d.update(d_grads, state["opt_state_d"],
                                           state["params_d"])

@@ -112,6 +112,10 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         neural_rendering_resolution=g.neural_rendering_resolution,
         density_reg=rendering_kwargs.get("density_reg", 0.25),
         gpc_reg_prob=rendering_kwargs.get("gpc_reg_prob", 0.5),
+        gpc_reg_fade_kimg=rendering_kwargs.get("gpc_reg_fade_kimg", 1000.0),
+        blur_init_sigma=rendering_kwargs.get("blur_init_sigma", 0.0),
+        blur_fade_kimg=rendering_kwargs.get("blur_fade_kimg",
+                                            batch * 200 / 32),
     )
     step_fn, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
     state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(seed))
@@ -130,8 +134,26 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
     dsh4 = NamedSharding(mesh, P("data", None, None, None))
     batch_sh = {"z": dsh2, "c": dsh2, "real_image": dsh4, "real_c": dsh2}
     state = jax.device_put(state, repl)
-    step = jax.jit(step_fn, in_shardings=(repl, batch_sh, repl),
-                   out_shardings=(repl, repl), donate_argnums=(0,))
+    # One compiled program per blur-kernel extent: the D warm-up blur fades
+    # over blur_fade_kimg, so the static FIR size steps through a small,
+    # bounded set of buckets (eg3d_loss.blur_kernel_size). sigma itself is
+    # traced, so within a bucket no recompile happens.
+    from .eg3d_loss import blur_kernel_size, blur_sigma_schedule
+
+    _steps: dict = {}
+
+    def step(state, gan_batch, rng, cur_nimg):
+        sigma = blur_sigma_schedule(cur_nimg, cfg)
+        size = blur_kernel_size(sigma)
+        if size not in _steps:
+            _steps[size] = jax.jit(
+                step_fn, in_shardings=(repl, batch_sh, repl, repl),
+                out_shardings=(repl, repl), donate_argnums=(0,),
+                static_argnames=("blur_size",),
+            )
+        return _steps[size](state, gan_batch, rng,
+                            jax.device_put(jnp.float32(max(sigma, 1e-8)), repl),
+                            blur_size=size)
 
     collector = Collector()
     cur_nimg, tick_idx, tick_start = 0, 0, time.time()
@@ -150,7 +172,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                 jnp.asarray(raw["loss_c"], jnp.float32), dsh2
             ),
         }
-        state, stats = step(state, gan_batch, jax.device_put(ks, repl))
+        state, stats = step(state, gan_batch, jax.device_put(ks, repl), cur_nimg)
         cur_nimg += batch
         for name, value in stats.items():
             collector.report(name, value)

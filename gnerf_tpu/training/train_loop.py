@@ -148,6 +148,11 @@ def make_train_step(
         )
 
         real_img = batch["loss_image"].astype(jnp.float32) / 127.5 - 1.0
+        # DELIBERATE deviation: the reference's ssim_resize (torchvision 0.12
+        # Resize on tensors, `training_loop.py:180`) does NOT antialias; we
+        # antialias the 64^2 reconstruction target and D's real input to
+        # match EG3D's antialiased filtered_resizing instead of inheriting
+        # that aliasing. Recorded in PARITY.md "intentional deviations".
         real_raw = (
             interpolate_bilinear(
                 batch["loss_image"].astype(jnp.float32), res, res, antialias=True

@@ -281,7 +281,9 @@ int64_t loader_get_batch(void* handle, const int64_t* indices,
   auto* loader = static_cast<Loader*>(handle);
   const size_t item = static_cast<size_t>(3) * loader->out_h * loader->out_w;
   std::atomic<int64_t> ok_count{0};
-  std::atomic<int64_t> done{0};
+  int64_t done = 0;  // guarded by mu: incremented under the lock so the
+                     // waiter cannot pass the predicate (and destroy mu/cv)
+                     // before the last worker has released the lock
   std::mutex mu;
   std::condition_variable cv;
 
@@ -304,14 +306,19 @@ int64_t loader_get_batch(void* handle, const int64_t* indices,
       } else {
         memset(out + i * item, 0, item);
       }
-      if (done.fetch_add(1) + 1 == batch) {
-        std::unique_lock<std::mutex> lk(mu);
+      {
+        // Increment AND notify under the lock: the waiter (which owns mu
+        // inside cv.wait) cannot observe done==batch and destroy mu/cv
+        // until this worker has released the lock, after which the worker
+        // never touches them again.
+        std::lock_guard<std::mutex> lk(mu);
+        ++done;
         cv.notify_one();
       }
     });
   }
   std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == batch; });
+  cv.wait(lk, [&] { return done == batch; });
   return ok_count.load();
 }
 

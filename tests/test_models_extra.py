@@ -155,6 +155,7 @@ def test_eg3d_schedules_and_blur():
     from gnerf_tpu.training.eg3d_loss import (
         EG3DLossConfig,
         blur_image,
+        blur_kernel_size,
         blur_sigma_schedule,
         swapped_conditioning,
         swapping_prob_schedule,
@@ -164,8 +165,16 @@ def test_eg3d_schedules_and_blur():
                          gpc_reg_prob=0.5, gpc_reg_fade_kimg=1000)
     assert float(blur_sigma_schedule(0, cfg)) == 10.0
     assert float(blur_sigma_schedule(200_000, cfg)) == 0.0
+    assert blur_kernel_size(blur_sigma_schedule(0, cfg)) == 30
+    assert blur_kernel_size(blur_sigma_schedule(200_000, cfg)) == 0
     np.testing.assert_allclose(float(swapping_prob_schedule(0, cfg)), 1.0)
     np.testing.assert_allclose(float(swapping_prob_schedule(10_000_000, cfg)), 0.5)
+    # the fade must be LIVE for a traced step count (round-1 advisor finding:
+    # run_g hardcoded cur_nimg=0, freezing swapping_prob at 1.0 forever)
+    halfway = jax.jit(lambda n: swapping_prob_schedule(n, cfg))(
+        jnp.int32(500_000)
+    )
+    np.testing.assert_allclose(float(halfway), 0.75)
 
     c = jnp.arange(6.0).reshape(3, 2)
     swapped = swapped_conditioning(jax.random.PRNGKey(0), c, 1.0)
@@ -174,10 +183,15 @@ def test_eg3d_schedules_and_blur():
     np.testing.assert_allclose(np.asarray(zeros), 0.0)
 
     img = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 16, 16))
-    blurred = blur_image(img, 2.0)
+    blurred = blur_image(img, 2.0, blur_kernel_size(2.0))
     assert blurred.shape == img.shape
     assert float(jnp.std(blurred)) < float(jnp.std(img))
-    np.testing.assert_allclose(np.asarray(blur_image(img, 0.0)), np.asarray(img))
+    np.testing.assert_allclose(np.asarray(blur_image(img, 1e-8, 0)),
+                               np.asarray(img))
+    # traced sigma with a static kernel size jits (per-bucket recompile model)
+    blurred2 = jax.jit(lambda s: blur_image(img, s, 6))(jnp.float32(2.0))
+    np.testing.assert_allclose(np.asarray(blurred2), np.asarray(blurred),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_cross_section():

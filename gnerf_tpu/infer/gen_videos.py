@@ -35,6 +35,12 @@ def _load_images(id_image: Optional[str], prepared: Optional[str]) -> np.ndarray
             for f in os.listdir(prepared)
             if f.endswith(".jpg") or f.endswith(".png")
         )
+    elif id_image is None:
+        # No identity given (e.g. --seed-init smoke runs): deterministic
+        # synthetic identity image so the CLI is self-contained.
+        return np.random.RandomState(0).randint(
+            0, 256, size=(1, 3, 512, 512), dtype=np.uint8
+        ).astype(np.uint8)
     else:
         paths = [id_image]
     imgs = []
@@ -163,7 +169,7 @@ def generate_videos(
         return jax.lax.map(one, cs)
 
     # --- video loop ----------------------------------------------------------
-    name = os.path.basename(prepared or id_image).split(".")[0]
+    name = os.path.basename(prepared or id_image or "seedinit").split(".")[0]
     os.makedirs(video_out_path, exist_ok=True)
     from .video_io import VideoWriter
 

@@ -105,6 +105,12 @@ class SuperresolutionHybrid8XDC(_SRBase):
                 image_raw, self.input_resolution, self.input_resolution,
                 antialias=self.sr_antialias,
             )
+        else:
+            # Reference parity: block64's in-place torgb accumulation aliases
+            # rgb to image_raw (reference `superresolution.py:295`, mutation
+            # at `networks_stylegan2.py:463`), and its no-interpolate branch
+            # keeps the ORIGINAL x (not x_raw) — a shipped quirk we mirror.
+            rgb = image_raw
         x, rgb = self.block("block0").apply(
             params["block0"], x, rgb, ws, noise_mode=noise_mode, rng=keys[1], dtype=dtype
         )
@@ -211,7 +217,12 @@ class SuperresolutionHybrid2X(_SRBase):
         x_raw, image_raw = self.block("block64").apply(
             params["block64"], x, rgb, ws, noise_mode=noise_mode, rng=keys[0], dtype=dtype
         )
-        x, rgb = self.block("block0").apply(params["block0"], x_raw, rgb, ws,
+        # block0's rgb input is image_raw, NOT the original rgb: the
+        # reference's in-place `img.add_` aliases the two after block64
+        # (reference `superresolution.py:121-122` with the mutation at
+        # `networks_stylegan2.py:463`), so its block0 sees the accumulated
+        # raw image. Verified against the reference by golden test.
+        x, rgb = self.block("block0").apply(params["block0"], x_raw, image_raw, ws,
                                             noise_mode=noise_mode, rng=keys[1], dtype=dtype)
         x, rgb = self.block("block1").apply(params["block1"], x, rgb, ws,
                                             noise_mode=noise_mode, rng=keys[2], dtype=dtype)
@@ -286,6 +297,8 @@ class SuperresolutionHybrid8five(_SRBase):
                                      antialias=self.sr_antialias)
             rgb = interpolate_bilinear(image_raw, self.input_resolution, self.input_resolution,
                                        antialias=self.sr_antialias)
+        else:
+            rgb = image_raw  # reference aliasing: block0 sees image_raw
         for i, name in enumerate(names[1:], start=1):
             x, rgb = self.block(name).apply(params[name], x, rgb, ws,
                                             noise_mode=noise_mode, rng=keys[i], dtype=dtype)
@@ -329,6 +342,8 @@ class SuperresolutionHybrid8seven(_SRBase):
                                      antialias=self.sr_antialias)
             rgb = interpolate_bilinear(image_raw, self.input_resolution, self.input_resolution,
                                        antialias=self.sr_antialias)
+        else:
+            rgb = image_raw  # reference aliasing: block0 sees image_raw
         for i, name in enumerate(names[1:], start=1):
             x, rgb = self.block(name).apply(params[name], x, rgb, ws,
                                             noise_mode=noise_mode, rng=keys[i], dtype=dtype)

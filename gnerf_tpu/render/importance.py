@@ -15,6 +15,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.precision import dot_precision
 from .math_utils import linspace_batched
 
 
@@ -118,8 +119,13 @@ def sample_pdf(
     vals = jnp.stack([cdf, bins[:, :k]], axis=-1)  # [Nr, k, 2]
     oh_below = jax.nn.one_hot(below, k, dtype=vals.dtype)
     oh_above = jax.nn.one_hot(above, k, dtype=vals.dtype)
-    lo = jnp.einsum("nik,nkv->niv", oh_below, vals)
-    hi = jnp.einsum("nik,nkv->niv", oh_above, vals)
+    # Full fp32 precision: XLA's DEFAULT fp32 dot is bf16-class on TPU,
+    # which would quantize the gathered depth/cdf VALUES (not just weights)
+    # to 1/64 steps — one-hot contractions carry exact data.
+    lo = jnp.einsum("nik,nkv->niv", oh_below, vals,
+                    precision=dot_precision(vals.dtype))
+    hi = jnp.einsum("nik,nkv->niv", oh_above, vals,
+                    precision=dot_precision(vals.dtype))
     cdf_lo, bins_lo = lo[..., 0], lo[..., 1]
     cdf_hi, bins_hi = hi[..., 0], hi[..., 1]
 

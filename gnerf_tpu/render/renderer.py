@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.grid_sample import grid_sample_2d
+from ..ops.precision import dot_precision
 from . import math_utils
 from .importance import sample_importance, sample_stratified
 from .ray_marcher import march_rays
@@ -275,7 +276,11 @@ def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
     idx = jnp.argsort(all_depths[..., 0], axis=-1)  # [N, R, S]
     oh = jax.nn.one_hot(idx, s, dtype=all_colors.dtype)  # [N, R, S, S]
     payload = jnp.concatenate([all_depths, all_colors, all_densities], axis=-1)
-    payload = jnp.einsum("nrij,nrjc->nric", oh, payload)
+    # Full fp32 precision: the default fp32 dot is bf16-class on TPU and
+    # would quantize the permuted depths/colors to 1/64 steps (the one-hot
+    # weights carry exact data). Caught by tests/test_reference_parity.py.
+    payload = jnp.einsum("nrij,nrjc->nric", oh, payload,
+                         precision=dot_precision(payload.dtype))
     d = all_depths.shape[-1]
     c = all_colors.shape[-1]
     return payload[..., :d], payload[..., d : d + c], payload[..., d + c :]

@@ -1,0 +1,222 @@
+"""Golden whole-model parity vs the ACTUAL reference implementation.
+
+Builds the reference `TriPlaneGenerator` + `ResNeXt50` from
+`/root/reference/g_nerf` (CPU torch, random init, fixed seed), runs the
+deterministic fp32 forward (noise_mode='const', stratified jitter zeroed,
+det inverse-CDF draws), converts the state_dict through
+`utils/checkpoint.py`, and asserts gnerf_tpu reproduces `image`,
+`image_raw`, `image_depth` within fp32 tolerance. This single test validates
+the converter, every network module's wiring, and the renderer at once
+(reference `training/triplane.py:53-89`).
+
+torchvision is absent in this environment; `_torchvision_shim` provides the
+two classes the reference imports (ResNet/Bottleneck).
+
+History: this test caught a real TPU precision bug on first run — the
+renderer's one-hot sort-merge/inverse-CDF einsums ran at XLA's DEFAULT fp32
+dot precision (bf16-class on TPU), quantizing sample depths to 1/64 steps.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/g_nerf"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout unavailable"
+)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Small-but-nontrivial config shared by both sides.
+Z_DIM = W_DIM = 32
+CHANNEL_BASE, CHANNEL_MAX = 2048, 64
+DEPTH_RES = 12
+RENDER_COMMON = dict(
+    image_resolution=128, disparity_space_sampling=False,
+    clamp_mode="softplus", c_gen_conditioning_zero=False, c_scale=1.0,
+    superresolution_noise_mode="none", density_reg=0.25,
+    density_reg_p_dist=0.004, reg_type="l1", decoder_lr_mul=1.0,
+    sr_antialias=True, depth_resolution=DEPTH_RES,
+    depth_resolution_importance=DEPTH_RES, ray_start=2.25, ray_end=3.3,
+    box_warp=1.0, avg_camera_radius=2.7, white_back=False, density_noise=0,
+)
+
+
+def _camera_label(batch: int) -> np.ndarray:
+    from gnerf_tpu.utils import camera
+
+    c2w = camera.lookat_sample(np.pi / 2 + 0.2, np.pi / 2 - 0.1, radius=2.7)
+    c = np.asarray(camera.pose_to_label(c2w, camera.FFHQ_INTRINSICS), np.float32)
+    return np.repeat(c, batch, axis=0)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    """Run the reference fp32 forward once; return all goldens as numpy."""
+    torch = pytest.importorskip("torch")
+    import _torchvision_shim
+
+    _torchvision_shim.install()
+    sys.path.insert(0, REF)
+    try:
+        from training.networks_stylegan2 import ResNeXt50 as RefE
+        from training.triplane import TriPlaneGenerator as RefG
+        from training.volumetric_rendering.renderer import (
+            ImportanceRenderer as RefRenderer,
+        )
+    finally:
+        sys.path.remove(REF)
+
+    torch.manual_seed(0)
+    rk = dict(
+        RENDER_COMMON,
+        superresolution_module="training.superresolution.SuperresolutionHybrid2X",
+        avg_camera_pivot=[0, 0, 0.2],
+    )
+    G = RefG(z_dim=Z_DIM, c_dim=25, w_dim=W_DIM, img_resolution=128,
+             img_channels=3, sr_num_fp16_res=0,
+             mapping_kwargs={"num_layers": 2}, rendering_kwargs=rk,
+             sr_kwargs={"w_dim": W_DIM}, channel_base=CHANNEL_BASE,
+             channel_max=CHANNEL_MAX, num_fp16_res=0, conv_clamp=256,
+             fused_modconv_default="inference_only")
+    G.eval()
+    E = RefE(num_gpus=1, out_dim=Z_DIM)
+    E.eval()
+
+    c = _camera_label(2)
+    z = np.random.RandomState(1).randn(2, Z_DIM).astype(np.float32)
+    img_in = np.random.RandomState(3).randn(2, 3, 64, 64).astype(np.float32)
+    coords = (np.random.RandomState(5).rand(2, 1000, 3).astype(np.float32)
+              * 1.2 - 0.6)
+    dirs = np.random.RandomState(6).randn(2, 1000, 3).astype(np.float32)
+
+    # Deterministic render: zero the stratified jitter and force det
+    # inverse-CDF draws (reference uses torch.rand for both,
+    # `renderer.py:188-190,245-246`); gnerf_tpu's rng=None path matches.
+    rand_like_orig = torch.rand_like
+    pdf_orig = RefRenderer.sample_pdf
+    torch.rand_like = lambda x, **kw: torch.zeros_like(x)
+    RefRenderer.sample_pdf = (
+        lambda self, b, w, n, det=False, eps=1e-5:
+        pdf_orig(self, b, w, n, det=True, eps=eps)
+    )
+    try:
+        with torch.no_grad():
+            zt, ct = torch.from_numpy(z), torch.from_numpy(c)
+            ws = G.mapping(zt, ct)
+            out = G.synthesis(ws, ct, noise_mode="const", force_fp32=True)
+            mixed = G.sample_mixed(torch.from_numpy(coords),
+                                   torch.from_numpy(dirs), ws,
+                                   noise_mode="const", force_fp32=True)
+            z_enc = E(torch.from_numpy(img_in))
+    finally:
+        torch.rand_like = rand_like_orig
+        RefRenderer.sample_pdf = pdf_orig
+
+    return dict(
+        z=z, c=c, img_in=img_in, coords=coords, dirs=dirs,
+        ws=ws.numpy(),
+        image=out["image"].numpy(),
+        image_raw=out["image_raw"].numpy(),
+        image_depth=out["image_depth"].numpy(),
+        sigma=mixed["sigma"].numpy(),
+        rgb=mixed["rgb"].numpy(),
+        z_enc=z_enc.numpy(),
+        g_state={k: v.detach().numpy() for k, v in G.state_dict().items()},
+        e_state={k: v.detach().numpy() for k, v in E.state_dict().items()},
+    )
+
+
+@pytest.fixture(scope="module")
+def ours(golden, tmp_path_factory):
+    """Convert the reference weights (through a full npz checkpoint
+    roundtrip) and run gnerf_tpu's forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnerf_tpu.models import TriPlaneGenerator
+    from gnerf_tpu.models.encoder import ResNeXt50Encoder
+    from gnerf_tpu.utils import checkpoint as ckpt
+
+    g_tree = ckpt.convert_torch_generator(golden["g_state"])
+    e_tree = ckpt.convert_torch_encoder(golden["e_state"])
+    e_state = ckpt.convert_torch_encoder_state(golden["e_state"])
+
+    # Exercise the full offline-converter flow: save + reload as npz.
+    path = str(tmp_path_factory.mktemp("ckpt") / "converted.npz")
+    ckpt.save_checkpoint(path, {"G_ema": g_tree, "E": e_tree,
+                                "E_state": e_state},
+                         config={"z_dim": Z_DIM})
+    trees, config = ckpt.load_checkpoint(path)
+    assert config == {"z_dim": Z_DIM}
+
+    g = TriPlaneGenerator(
+        z_dim=Z_DIM, c_dim=25, w_dim=W_DIM, img_resolution=128,
+        sr_num_fp16_res=0, mapping_layers=2, channel_base=CHANNEL_BASE,
+        channel_max=CHANNEL_MAX,
+        rendering_kwargs=dict(
+            RENDER_COMMON,
+            superresolution_module="SuperresolutionHybrid2X",
+            avg_camera_pivot=(0, 0, 0.2),
+        ),
+    )
+    # The converted tree must cover our init tree key-for-key.
+    f0 = ckpt.flatten_tree(g.init(jax.random.PRNGKey(0)))
+    f1 = ckpt.flatten_tree(trees["G_ema"])
+    assert sorted(f0) == sorted(f1)
+    assert all(f0[k].shape == f1[k].shape for k in f0)
+
+    enc = ResNeXt50Encoder(out_dim=Z_DIM)
+    p0, s0 = enc.init(jax.random.PRNGKey(1))
+    assert sorted(ckpt.flatten_tree(p0)) == sorted(ckpt.flatten_tree(trees["E"]))
+    assert sorted(ckpt.flatten_tree(s0)) == sorted(
+        ckpt.flatten_tree(trees["E_state"]))
+
+    params = trees["G_ema"]
+    ws = g.mapping(params, jnp.asarray(golden["z"]), jnp.asarray(golden["c"]))
+    out = g.synthesis(params, ws, jnp.asarray(golden["c"]),
+                      noise_mode="const", rng=None)
+    mixed = g.sample_mixed(params, jnp.asarray(golden["coords"]),
+                           jnp.asarray(golden["dirs"]), ws)
+    z_enc, _ = enc.apply(trees["E"], trees["E_state"],
+                         jnp.asarray(golden["img_in"]), train=False)
+    return dict(ws=np.asarray(ws),
+                image=np.asarray(out["image"]),
+                image_raw=np.asarray(out["image_raw"]),
+                image_depth=np.asarray(out["image_depth"]),
+                sigma=np.asarray(mixed["sigma"]),
+                rgb=np.asarray(mixed["rgb"]),
+                z_enc=np.asarray(z_enc))
+
+
+def test_mapping_matches_reference(golden, ours):
+    np.testing.assert_allclose(ours["ws"], golden["ws"], atol=5e-6)
+
+
+def test_synthesis_image_raw_matches_reference(golden, ours):
+    np.testing.assert_allclose(ours["image_raw"], golden["image_raw"],
+                               atol=2e-3)
+
+
+def test_synthesis_image_matches_reference(golden, ours):
+    np.testing.assert_allclose(ours["image"], golden["image"], atol=2e-3)
+
+
+def test_synthesis_depth_matches_reference(golden, ours):
+    np.testing.assert_allclose(ours["image_depth"], golden["image_depth"],
+                               atol=1e-3)
+
+
+def test_sample_mixed_matches_reference(golden, ours):
+    np.testing.assert_allclose(ours["sigma"], golden["sigma"], atol=2e-3)
+    np.testing.assert_allclose(ours["rgb"], golden["rgb"], atol=2e-3)
+
+
+def test_encoder_matches_reference(golden, ours):
+    np.testing.assert_allclose(ours["z_enc"], golden["z_enc"], atol=1e-5)

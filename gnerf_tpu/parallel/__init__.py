@@ -1,7 +1,16 @@
 """Mesh / sharding / collectives: the distributed substrate."""
 
 from .collectives import check_replica_consistency, pmean_grads, psum_moments
-from .mesh import DATA_AXIS, RAY_AXIS, data_sharded, make_mesh, ray_sharded, replicated
+from .mesh import (
+    DATA_AXIS,
+    RAY_AXIS,
+    data_sharded,
+    init_distributed,
+    make_mesh,
+    process_info,
+    ray_sharded,
+    replicated,
+)
 from .sharding import (
     batch_spec,
     put_replicated,
@@ -16,7 +25,9 @@ __all__ = [
     "batch_spec",
     "check_replica_consistency",
     "data_sharded",
+    "init_distributed",
     "make_mesh",
+    "process_info",
     "pmean_grads",
     "psum_moments",
     "put_replicated",

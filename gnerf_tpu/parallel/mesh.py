@@ -26,6 +26,53 @@ DATA_AXIS = "data"
 RAY_AXIS = "rays"
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Flag-gated multi-host runtime init (SURVEY.md section 2.3/5.8).
+
+    The TPU-native replacement for the reference's
+    `torch.distributed.init_process_group(nccl, file://...)` rendezvous
+    (`/root/reference/g_nerf/train.py:40-47`): one JAX process per host,
+    `jax.distributed.initialize` wires the coordinator, and all later
+    collectives ride ICI/DCN through XLA.
+
+    Enabled when `coordinator_address` is given or GNERF_DISTRIBUTED=1 /
+    JAX_COORDINATOR_ADDRESS is set in the environment (on TPU pods the
+    arguments are auto-detected from the metadata server, so flag-only
+    activation is the common case). Returns True iff multi-host mode was
+    initialized; single-process behavior is unchanged when disabled."""
+    import os
+
+    enabled = (
+        coordinator_address is not None
+        or os.environ.get("GNERF_DISTRIBUTED", "") == "1"
+        or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    )
+    if not enabled:
+        return False
+    kwargs = {}
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) — the rank/num_replicas pair that
+    gates I/O and shards the data sampler (reference `training_loop.py:152`
+    rank-0 prints and `misc.InfiniteSampler(rank, num_replicas)`)."""
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(
     data: Optional[int] = None,
     rays: int = 1,

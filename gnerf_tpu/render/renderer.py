@@ -263,26 +263,42 @@ def run_model(
     return out
 
 
-def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
+def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2,
+                  method: str = "onehot"):
     """Concatenate coarse+fine samples and sort by depth along the sample axis.
 
-    The depth key sorts via XLA sort; colors/densities are permuted with a
-    one-hot contraction over the (tiny) sample axis, which runs on the
-    MXU/VPU instead of TPU's slow row-gather engine."""
+    method='onehot': the depth key sorts via XLA sort; colors/densities are
+    permuted with a one-hot contraction over the (tiny) sample axis, which
+    runs on the MXU/VPU instead of TPU's slow row-gather engine.
+    method='sort': one variadic `lax.sort` carries every payload lane
+    through the sort network — EXACT (no dot rounding) and no S x S
+    contraction; A/B-benchmarked against 'onehot' on real hardware
+    (tools/profile_renderer.py)."""
     all_depths = jnp.concatenate([depths1, depths2], axis=-2)
     all_colors = jnp.concatenate([colors1, colors2], axis=-2)
     all_densities = jnp.concatenate([densities1, densities2], axis=-2)
-    s = all_depths.shape[-2]
-    idx = jnp.argsort(all_depths[..., 0], axis=-1)  # [N, R, S]
-    oh = jax.nn.one_hot(idx, s, dtype=all_colors.dtype)  # [N, R, S, S]
     payload = jnp.concatenate([all_depths, all_colors, all_densities], axis=-1)
-    # Full fp32 precision: the default fp32 dot is bf16-class on TPU and
-    # would quantize the permuted depths/colors to 1/64 steps (the one-hot
-    # weights carry exact data). Caught by tests/test_reference_parity.py.
-    payload = jnp.einsum("nrij,nrjc->nric", oh, payload,
-                         precision=dot_precision(payload.dtype))
     d = all_depths.shape[-1]
     c = all_colors.shape[-1]
+
+    if method == "sort":
+        # [N, R, S, L] -> variadic sort of L same-shape operands keyed by
+        # the depth lane, all permuted in one pass.
+        lanes = tuple(payload[..., i] for i in range(payload.shape[-1]))
+        sorted_lanes = jax.lax.sort(
+            (all_depths[..., 0],) + lanes, dimension=-1, num_keys=1
+        )
+        payload = jnp.stack(sorted_lanes[1:], axis=-1)
+    else:
+        s = all_depths.shape[-2]
+        idx = jnp.argsort(all_depths[..., 0], axis=-1)  # [N, R, S]
+        oh = jax.nn.one_hot(idx, s, dtype=all_colors.dtype)  # [N, R, S, S]
+        # Full fp32 precision: the default fp32 dot is bf16-class on TPU and
+        # would quantize the permuted depths/colors to 1/64 steps (the
+        # one-hot weights carry exact data). Caught by
+        # tests/test_reference_parity.py.
+        payload = jnp.einsum("nrij,nrjc->nric", oh, payload,
+                             precision=dot_precision(payload.dtype))
     return payload[..., :d], payload[..., d : d + c], payload[..., d + c :]
 
 
@@ -366,6 +382,7 @@ def render_rays(
         all_depths, all_colors, all_densities = unify_samples(
             depths_coarse, colors_coarse, densities_coarse,
             depths_fine, colors_fine, densities_fine,
+            method=options.get("sample_merge", "onehot"),
         )
         rgb_final, depth_final, weights = march_rays(
             all_colors, all_densities, all_depths, options

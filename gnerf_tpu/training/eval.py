@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 
 def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
-             max_items: int = 64, batch: int = 4, out: str = ""):
+             max_items: int = 64, batch: int = 4, out: str = "",
+             lpips_weights: str = "", inception_weights: str = ""):
     from ..models import ResNeXt50Encoder, TriPlaneGenerator
     from ..utils import checkpoint as ckpt
     from .dataset import SyntheticDataset, TestDataset, collate
@@ -43,8 +44,13 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
     state_e = trees.get("E_state")
     if state_e is None:
         _, state_e = enc.init(jax.random.PRNGKey(0))
-    vgg = VGG16LPIPS()
-    params_vgg = trees.get("VGG") or vgg.init(jax.random.PRNGKey(1))
+    if lpips_weights:
+        from .losses import load_lpips
+
+        vgg, params_vgg, _ = load_lpips(lpips_weights)
+    else:
+        vgg = VGG16LPIPS()
+        params_vgg = trees.get("VGG") or vgg.init(jax.random.PRNGKey(1))
 
     if dataset_name == "synthetic":
         dataset = SyntheticDataset(resolution=g.img_resolution, size=max_items)
@@ -61,13 +67,27 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
         real = batch_data["loss_image"].astype(jnp.float32) / 127.5 - 1.0
         return reconstruction_metrics(vgg, params_vgg, real, outd["image"])
 
+    @jax.jit
+    def render_batch(params_e, state_e, params_g, batch_data):
+        imgs = batch_data["condition_image"].astype(jnp.float32) / 127.5 - 1.0
+        z, _ = enc.apply(params_e, state_e, imgs, train=False)
+        c = batch_data["loss_c"].astype(jnp.float32)
+        ws = g.mapping(params_g, z, c)
+        return g.synthesis(params_g, ws, c, noise_mode="none")["image"]
+
     results = []
+    real_frames, fake_frames = [], []
     n = min(max_items, len(dataset))
     for start in range(0, n - n % batch, batch):
         items = [dataset[i] for i in range(start, start + batch)]
         bd = {k: jnp.asarray(v) for k, v in collate(items).items()
               if k in ("condition_image", "loss_image", "loss_c")}
         m = eval_batch(params_e, state_e, params_g, params_vgg, bd)
+        if inception_weights:
+            real_frames.append(
+                np.asarray(bd["loss_image"], np.float32) / 127.5 - 1.0)
+            fake_frames.append(np.asarray(
+                render_batch(params_e, state_e, params_g, bd), np.float32))
         results.append({k: float(v) for k, v in m.items()})
         print(f"[{start + batch}/{n}] " +
               " ".join(f"{k}={v:.4f}" for k, v in results[-1].items()))
@@ -76,6 +96,16 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
         k: float(np.mean([r[k] for r in results])) for k in results[0]
     }
     summary["num_items"] = len(results) * batch
+    if inception_weights:
+        # Canonical FID over the held-out set: pinned pretrained pool-3
+        # InceptionV3 features (tools/convert_inception.py).
+        from .inception import load_inception
+        from .metrics import frechet_feature_distance, make_inception_feature_fn
+
+        _, params_inc = load_inception(inception_weights)
+        feature_fn = make_inception_feature_fn(params_inc)
+        summary["fid"] = frechet_feature_distance(
+            feature_fn, real_frames, fake_frames)
     print(json.dumps(summary))
     if out:
         with open(out, "w") as f:
@@ -92,6 +122,11 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
 @click.option("--max_items", type=int, default=64)
 @click.option("--batch", type=int, default=4)
 @click.option("--out", default="")
+@click.option("--lpips-weights", "lpips_weights", default="",
+              help="converted vgg16.pt npz (tools/convert_vgg16_lpips.py)")
+@click.option("--inception-weights", "inception_weights", default="",
+              help="converted inception_v3 npz (tools/convert_inception.py); "
+                   "enables FID over the held-out set")
 def main(**kwargs):
     run_eval(**kwargs)
 

@@ -101,7 +101,9 @@ def ssim(
 
 _VGG_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
             512, 512, 512)
-_LPIPS_LAYERS = (1, 3, 6, 8, 11)  # conv indices of relu1_2..relu5_3 features
+# Conv indices (0-based over the 13 convs) whose post-relu outputs feed
+# LPIPS: relu1_2, relu2_2, relu3_3, relu4_3, relu5_3.
+_LPIPS_LAYERS = (1, 3, 6, 9, 12)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,11 +111,20 @@ class VGG16LPIPS:
     """VGG16 feature extractor producing LPIPS embedding vectors.
 
     apply(params, images) takes [N, 3, H, W] in [0, 255] (the reference's
-    convention, `training_loop.py:345`), resizes to 256 (as
+    convention, `training_loop.py:345`), resizes to `resize_to` (as
     resize_images=True does), and returns [N, D] vectors whose squared
-    euclidean distance is the LPIPS distance."""
+    euclidean distance is the LPIPS distance.
+
+    Pretrained weights are ingested offline from NVIDIA's TorchScript
+    `vgg16.pt` (the file the reference downloads,
+    `training_loop.py:177-179`) by `tools/convert_vgg16_lpips.py`, which
+    also calibrates `resize_to`/`antialias` against the live torchscript
+    and stores them in the npz — construct the net via `load_lpips()` to
+    pick those up. A params dict may carry an optional "preprocess" entry
+    {shift, scale} (the LPIPS ScalingLayer) applied to the [-1, 1] input."""
 
     resize_to: int = 256
+    antialias: bool = True
 
     def init(self, rng: jax.Array) -> dict:
         keys = jax.random.split(rng, len(_VGG_CFG) + len(_LPIPS_LAYERS))
@@ -162,10 +173,15 @@ class VGG16LPIPS:
     def apply(self, params: dict, images: jax.Array) -> jax.Array:
         x = images
         if x.shape[-1] != self.resize_to:
-            x = interpolate_bilinear(x, self.resize_to, self.resize_to, antialias=True)
-        # ImageNet-ish whitening used by the NVIDIA lpips net: scale to
-        # [-1, 1].
+            x = interpolate_bilinear(x, self.resize_to, self.resize_to,
+                                     antialias=self.antialias)
+        # [0, 255] -> [-1, 1], then the optional LPIPS ScalingLayer
+        # whitening ((x - shift) / scale) when the converted checkpoint
+        # carries one.
         x = x / 255.0 * 2.0 - 1.0
+        pre = params.get("preprocess")
+        if pre is not None:
+            x = (x - pre["shift"][None, :, None, None]) / pre["scale"][None, :, None, None]
         feats = self.features(params, x)
         out = []
         for i, f in enumerate(feats):
@@ -185,6 +201,50 @@ def lpips_distance(vgg: VGG16LPIPS, params: dict, a: jax.Array, b: jax.Array) ->
     fa = vgg.apply(params, (a + 1) * 255 * 0.5)
     fb = vgg.apply(params, (b + 1) * 255 * 0.5)
     return jnp.sum(jnp.square(fa - fb), axis=1)
+
+
+def load_lpips(path: str) -> tuple[VGG16LPIPS, dict, dict]:
+    """Load converted LPIPS weights (tools/convert_vgg16_lpips.py output).
+
+    Returns (net, params, meta). The net is constructed with the
+    resize/antialias settings the converter calibrated against the source
+    torchscript; meta["pretrained"] is True for converted weights."""
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    meta = json.loads(str(flat.pop("__meta__").tobytes().decode("utf-8")))
+    params: dict = {}
+    for k, v in flat.items():
+        arr = jnp.asarray(v)
+        if "/" in k:
+            group, leaf = k.split("/", 1)
+            params.setdefault(group, {})[leaf] = arr
+        else:
+            params[k] = arr
+    net = VGG16LPIPS(resize_to=int(meta.get("resize_to", 256)),
+                     antialias=bool(meta.get("antialias", True)))
+    meta.setdefault("pretrained", True)
+    return net, params, meta
+
+
+def lpips_params_or_warn(rng: jax.Array, path: Optional[str] = None
+                         ) -> tuple[VGG16LPIPS, dict, bool]:
+    """The training-loop entry point: converted weights when `path` is
+    given, otherwise RANDOM features with a loud warning (a random VGG is
+    still a usable perceptual objective, but it is NOT the reference's)."""
+    if path:
+        net, params, meta = load_lpips(path)
+        print(f"LPIPS: loaded pretrained VGG16 weights from {path} "
+              f"(resize {net.resize_to}, antialias={net.antialias}, "
+              f"calibration err {meta.get('calibration_err', 'n/a')})")
+        return net, params, True
+    print("WARNING: LPIPS is running on RANDOM VGG16 weights — the "
+          "perceptual term will NOT match the reference objective. Convert "
+          "NVIDIA's vgg16.pt with tools/convert_vgg16_lpips.py and pass "
+          "--lpips-weights to fix this.")
+    net = VGG16LPIPS()
+    return net, net.init(rng), False
 
 
 # ---------------------------------------------------------------------------

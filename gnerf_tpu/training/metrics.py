@@ -86,6 +86,24 @@ def frechet_feature_distance(
     return frechet_distance(mu_r, sig_r, mu_f, sig_f)
 
 
+def make_inception_feature_fn(params_inception, batch_dtype=jnp.float32,
+                              resize_to: int = 299):
+    """Canonical-FID feature extractor: pool-3 (2048-dim) InceptionV3
+    features from pretrained weights ingested by tools/convert_inception.py
+    (`inception.load_inception`). Use with `frechet_feature_distance` for
+    numbers comparable across runs and to published FID protocol (which
+    resizes to 299; smaller values only for smoke tests)."""
+    from .inception import InceptionV3Features
+
+    net = InceptionV3Features(resize_to=resize_to)
+
+    @jax.jit
+    def feature_fn(images):
+        return net.features(params_inception, images.astype(batch_dtype))
+
+    return feature_fn
+
+
 def make_vgg_feature_fn(vgg: VGG16LPIPS, params_vgg):
     """Default feature extractor for frechet_feature_distance: spatially
     POOLED per-layer VGG features (64+128+256+512+512 = 1472 dims) — keeps

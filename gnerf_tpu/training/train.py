@@ -238,10 +238,11 @@ def run_training(
     density_reg: float = 0.25,
     decoder_lr_mul: float = 1.0,
     objective: str = "gnerf",
+    lpips_weights: str = "",
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
-    from ..parallel import make_mesh
+    from ..parallel import init_distributed, make_mesh, process_info
     from ..utils import checkpoint as ckpt_lib
     from ..utils.stats import Collector
     from .dataset import FFHQGenDataset, SyntheticDataset, data_iterator
@@ -249,11 +250,18 @@ def run_training(
     from .train_loop import (
         TrainConfig,
         init_train_state,
+        load_train_state,
         make_optimizers,
         make_train_step,
         save_snapshot,
+        save_train_state,
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # Multi-host: flag-gated jax.distributed.initialize BEFORE the first
+    # backend touch; rank gates host I/O below, world shards the sampler.
+    init_distributed()
+    rank, world = process_info()
 
     preset = RENDERING_PRESETS[dataset_name]
     rendering_kwargs = dict(DEFAULT_RENDERING_KWARGS)
@@ -285,7 +293,10 @@ def run_training(
                       img_channels=1)
         if gan_depth else None
     )
-    vgg = VGG16LPIPS()
+    from .losses import lpips_params_or_warn
+
+    vgg, params_vgg_loaded, lpips_pretrained = lpips_params_or_warn(
+        jax.random.PRNGKey(seed + 7), lpips_weights or None)
 
     options = {
         "dataset_name": dataset_name,
@@ -305,18 +316,25 @@ def run_training(
             for k, v in rendering_kwargs.items()
         },
         "num_devices": len(jax.devices()),
+        "lpips_pretrained": lpips_pretrained,
     }
-    print(json.dumps(options, indent=2))
+    options["num_processes"] = world
+    if rank == 0:
+        print(json.dumps(options, indent=2))
     if dry_run:
         print("Dry run -- exiting.")
         return None
 
-    run_dir = pick_run_dir(outdir, dataset_name)
-    with open(os.path.join(run_dir, "training_options.json"), "w") as f:
-        json.dump(options, f, indent=2)
-    from ..utils.logger import Logger
+    # Rank-gated run-dir I/O (reference `training_loop.py:152,161` gates on
+    # rank 0); non-zero ranks still need run_dir for nothing — they skip all
+    # host-side writes below.
+    run_dir = pick_run_dir(outdir, dataset_name) if rank == 0 else outdir
+    if rank == 0:
+        with open(os.path.join(run_dir, "training_options.json"), "w") as f:
+            json.dump(options, f, indent=2)
+        from ..utils.logger import Logger
 
-    Logger(os.path.join(run_dir, "log.txt"))  # tee stdout/stderr to the run dir
+        Logger(os.path.join(run_dir, "log.txt"))  # tee stdout/stderr
 
     if objective == "eg3d":
         return _run_eg3d_training(
@@ -331,16 +349,27 @@ def run_training(
     else:
         dataset = FFHQGenDataset(path=data, real_path=real_data or None,
                                  resolution=img_resolution)
-    batches = data_iterator(dataset, batch_size=batch, seed=seed)
+    # Each host feeds its own shard of the global batch (reference
+    # `batch_gpu = batch // num_gpus`, train.py:273); single-process keeps
+    # the full batch — behavior unchanged.
+    assert batch % world == 0, f"batch {batch} not divisible by {world} hosts"
+    batches = data_iterator(dataset, batch_size=batch // world, rank=rank,
+                            num_replicas=world, seed=seed)
 
     # Mesh + shardings: batch over 'data', params replicated.
     mesh = make_mesh()
     repl = NamedSharding(mesh, P())
 
     state = init_train_state(g, enc, disc, vgg, cfg, jax.random.PRNGKey(seed))
+    if lpips_pretrained:
+        state = state.replace(params_vgg=params_vgg_loaded)
     if resume:
         trees, _ = ckpt_lib.load_checkpoint(resume)
-        if "G_ema" in trees:
+        if "train_state" in trees:
+            # Full-state checkpoint (training-state-*.npz): bit-identical
+            # continuation including both optimizer states and EMA.
+            state, _ = load_train_state(resume, state)
+        elif "G_ema" in trees:
             state = state.replace(
                 params_g=ckpt_lib.copy_params(trees["G_ema"], state.params_g),
                 params_g_ema=ckpt_lib.copy_params(trees["G_ema"], state.params_g_ema),
@@ -361,6 +390,14 @@ def run_training(
         k: NamedSharding(mesh, P("data", *([None] * (np.ndim(v) - 1))))
         for k, v in example.items()
     }
+
+    def put_batch(v, sh):
+        # Single-host: plain device_put. Multi-host: assemble the global
+        # batch from per-process shards (each host's iterator yields its
+        # batch//world slice).
+        if world == 1:
+            return jax.device_put(jnp.asarray(v), sh)
+        return jax.make_array_from_process_local_data(sh, np.asarray(v))
     step = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
                    out_shardings=(repl, repl), donate_argnums=(0,))
 
@@ -371,30 +408,48 @@ def run_training(
 
     val_batch = {k: jnp.asarray(v) for k, v in collate(val_items).items()
                  if k in ("condition_image", "loss_image", "loss_c")}
-    save_image_grid(np.asarray(val_batch["condition_image"], np.float32),
-                    os.path.join(run_dir, "id_images.png"), drange=(0, 255))
+    if rank == 0:
+        save_image_grid(np.asarray(val_batch["condition_image"], np.float32),
+                        os.path.join(run_dir, "id_images.png"), drange=(0, 255))
     best_ssim = -100.0
 
     tb_writer = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    if rank == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
 
-        tb_writer = SummaryWriter(run_dir)
-    except Exception as err:  # pragma: no cover
-        print("Skipping tfevents export:", err)
+            tb_writer = SummaryWriter(run_dir)
+        except Exception as err:  # pragma: no cover
+            print("Skipping tfevents export:", err)
+
+    # Preemption-safe shutdown (beyond the reference, which has no failure
+    # handling — SURVEY.md 5.3): SIGTERM/SIGINT request a graceful stop; the
+    # loop saves a FULL training-state checkpoint and exits cleanly, so a
+    # preempted TPU run resumes bit-identically via --resume.
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        print(f"signal {signum}: finishing step, checkpointing, exiting...")
+
+    prev_handlers = {
+        s: signal.signal(s, _request_stop)
+        for s in (signal.SIGTERM, signal.SIGINT)
+    }
 
     collector = Collector()
-    cur_nimg = 0
-    tick_idx = 0
+    cur_nimg = int(np.asarray(jax.device_get(state.cur_nimg)))  # 0 unless full-state resume
+    tick_idx = cur_nimg // max(tick * 1000, 1)
     tick_start = time.time()
     start = tick_start
     rng = jax.random.PRNGKey(seed + 1)
     pending = example
     print(f"Training for {kimg} kimg in {run_dir} ...")
-    while cur_nimg < kimg * 1000:
+    while cur_nimg < kimg * 1000 and not stop_requested["flag"]:
         rng, key = jax.random.split(rng)
-        batch_dev = {k: jax.device_put(jnp.asarray(v), data_sh[k])
-                     for k, v in pending.items()}
+        batch_dev = {k: put_batch(v, data_sh[k]) for k, v in pending.items()}
         state, stats = step(state, batch_dev, jax.device_put(key, repl))
         pending = next(batches)
         cur_nimg += batch
@@ -412,37 +467,64 @@ def run_training(
                 state.params_e, state.state_e, state.params_g_ema, val_batch
             )
             val_ssim = float(val_ssim)
-            print(f"tick {tick_idx:<5d} kimg {cur_nimg / 1000:<8.1f} "
-                  f"sec/tick {now - tick_start:<7.1f} val_ssim {val_ssim:.4f} {msg}")
-            collector.write_jsonl(
-                os.path.join(run_dir, "stats.jsonl"),
-                extra={"kimg": cur_nimg / 1000, "Metrics/val_ssim": val_ssim},
-            )
+            if rank == 0:
+                print(f"tick {tick_idx:<5d} kimg {cur_nimg / 1000:<8.1f} "
+                      f"sec/tick {now - tick_start:<7.1f} val_ssim {val_ssim:.4f} {msg}")
+                collector.write_jsonl(
+                    os.path.join(run_dir, "stats.jsonl"),
+                    extra={"kimg": cur_nimg / 1000, "Metrics/val_ssim": val_ssim},
+                )
             if tb_writer is not None:
                 for name, v in fields.items():
                     tb_writer.add_scalar(name, v["mean"], global_step=cur_nimg)
                 tb_writer.add_scalar("Metrics/val_ssim", val_ssim,
                                      global_step=cur_nimg)
                 tb_writer.flush()
-            if val_ssim > best_ssim:
-                best_ssim = val_ssim
-                save_snapshot(os.path.join(run_dir, "network-snapshot-best.npz"),
-                              jax.device_get(state), config=options)
-            save_snapshot(os.path.join(run_dir, "network-snapshot-latest.npz"),
-                          jax.device_get(state), config=options)
-            save_image_grid(np.asarray(val_images),
-                            os.path.join(run_dir, f"fakes-{cur_nimg // 1000:06d}.png"))
+            if rank == 0:
+                # Disk-full tolerance (reference `training_loop.py:562-564`).
+                try:
+                    if val_ssim > best_ssim:
+                        save_snapshot(
+                            os.path.join(run_dir, "network-snapshot-best.npz"),
+                            jax.device_get(state), config=options)
+                    save_snapshot(
+                        os.path.join(run_dir, "network-snapshot-latest.npz"),
+                        jax.device_get(state), config=options)
+                    save_train_state(
+                        os.path.join(run_dir, "training-state-latest.npz"),
+                        state, config=options)
+                    save_image_grid(
+                        np.asarray(val_images),
+                        os.path.join(run_dir, f"fakes-{cur_nimg // 1000:06d}.png"))
+                    if tick_idx % cfg.snapshot_ticks == 0:
+                        save_snapshot(
+                            os.path.join(
+                                run_dir,
+                                f"network-snapshot-{cur_nimg // 1000:06d}.npz"),
+                            jax.device_get(state), config=options)
+                except OSError as err:
+                    print(f"WARNING: snapshot write failed: {err}")
+            best_ssim = max(best_ssim, val_ssim)
             tick_start = now
-            if tick_idx % cfg.snapshot_ticks == 0:
-                host_state = jax.device_get(state)
-                save_snapshot(
-                    os.path.join(run_dir, f"network-snapshot-{cur_nimg // 1000:06d}.npz"),
-                    host_state, config=options,
-                )
-    host_state = jax.device_get(state)
-    save_snapshot(os.path.join(run_dir, "network-snapshot-final.npz"),
-                  host_state, config=options)
-    print(f"done in {time.time() - start:.1f}s")
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
+    if rank == 0:
+        # Disk-full tolerance around final writes (reference swallows
+        # OSError around snapshots, `training_loop.py:562-564`).
+        try:
+            host_state = jax.device_get(state)
+            save_snapshot(os.path.join(run_dir, "network-snapshot-final.npz"),
+                          host_state, config=options)
+            save_train_state(
+                os.path.join(run_dir, "training-state-latest.npz"),
+                state, config=options)
+        except OSError as err:
+            print(f"WARNING: final snapshot failed: {err}")
+        if stop_requested["flag"]:
+            print(f"preempted at {cur_nimg / 1000:.1f} kimg — full state "
+                  f"saved; resume with --resume "
+                  f"{os.path.join(run_dir, 'training-state-latest.npz')}")
+        print(f"done in {time.time() - start:.1f}s")
     return run_dir
 
 
@@ -471,6 +553,9 @@ def run_training(
 @click.option("--sr_noise_mode", type=str, default="none")
 @click.option("--density_reg", type=float, default=0.25)
 @click.option("--decoder_lr_mul", type=float, default=1.0)
+@click.option("--lpips-weights", "lpips_weights", type=str, default="",
+              help="converted vgg16.pt npz (tools/convert_vgg16_lpips.py); "
+                   "empty = RANDOM VGG features (loudly flagged)")
 @click.option("--objective", type=click.Choice(["gnerf", "eg3d"]),
               default="gnerf",
               help="gnerf = encoder-inversion training (the live reference "

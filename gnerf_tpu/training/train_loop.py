@@ -314,3 +314,42 @@ def save_snapshot(path: str, state: TrainState, config: Optional[dict] = None):
         },
         config=config,
     )
+
+
+def save_train_state(path: str, state: TrainState,
+                     config: Optional[dict] = None,
+                     backend: str = "npz") -> None:
+    """FULL-state checkpoint: params + EMA + BOTH optimizer states + VGG +
+    cur_nimg, keyed by leaf index so arbitrary optax state structures
+    (namedtuples, MaskedNodes) round-trip exactly. Resume from this is
+    bit-identical — unlike the reference, whose pickles are params-only
+    ('The loop does NOT checkpoint optimizer state or RNG', SURVEY.md 5.4;
+    reference `training_loop.py:503-560`)."""
+    host = jax.device_get(state)
+    leaves = jax.tree_util.tree_leaves(host)
+    tree = {f"{i:05d}": np.asarray(x) for i, x in enumerate(leaves)}
+    if backend == "orbax":
+        ckpt_lib.save_checkpoint_orbax(path, {"train_state": tree}, config=config)
+    else:
+        ckpt_lib.save_checkpoint(path, {"train_state": tree}, config=config)
+
+
+def load_train_state(path: str, template: TrainState,
+                     backend: str = "npz") -> tuple[TrainState, Optional[dict]]:
+    """Restore a save_train_state checkpoint into the structure of
+    `template` (a freshly-initialized TrainState with the same config)."""
+    if backend == "orbax":
+        trees, config = ckpt_lib.load_checkpoint_orbax(path)
+    else:
+        trees, config = ckpt_lib.load_checkpoint(path)
+    flat = trees["train_state"]
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(flat) != len(t_leaves):
+        raise ValueError(
+            f"checkpoint has {len(flat)} leaves, template has "
+            f"{len(t_leaves)} — config mismatch")
+    leaves = [
+        jnp.asarray(flat[f"{i:05d}"]).astype(jnp.asarray(t_leaves[i]).dtype)
+        for i in range(len(t_leaves))
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves), config

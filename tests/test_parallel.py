@@ -145,3 +145,26 @@ def test_ray_sharded_render_matches_replicated():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_depth), np.asarray(want_depth),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_multihost_init_disabled_by_default(monkeypatch):
+    """init_distributed is a no-op (returns False) without the flag/env —
+    single-process behavior unchanged; process_info reports (0, 1)."""
+    from gnerf_tpu.parallel import init_distributed, process_info
+
+    monkeypatch.delenv("GNERF_DISTRIBUTED", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert init_distributed() is False
+    rank, world = process_info()
+    assert (rank, world) == (0, 1)
+
+
+def test_full_pipeline_train_step_8device_mesh():
+    """CI guard for the driver's multichip gate (round-1 red item): the FULL
+    training step — encoder + generator + depth-D + VGG LPIPS + both Adams +
+    R1 — jitted over an 8-device ('data',) mesh with replicated params and
+    batch sharding, one real step. Mirrors reference collective semantics at
+    `training_loop.py:388-437` (grad all-reduce == pjit-inserted psum)."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

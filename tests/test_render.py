@@ -292,3 +292,19 @@ def test_render_rays_jits_and_grads():
     g = jax.jit(jax.grad(loss))(planes)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_unify_samples_sort_method_matches_onehot():
+    """The variadic-sort merge must be exactly equivalent to the one-hot
+    permute path (same ordering, bit-exact payload transport)."""
+    rng = np.random.RandomState(7)
+    args = []
+    for s in (6, 5):
+        args += [np.sort(rng.rand(2, 3, s, 1), axis=2).astype(np.float32),
+                 rng.rand(2, 3, s, 4).astype(np.float32),
+                 rng.rand(2, 3, s, 1).astype(np.float32)]
+    j = [jnp.asarray(a) for a in args]
+    want = unify_samples(*j, method="onehot")
+    got = unify_samples(*j, method="sort")
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

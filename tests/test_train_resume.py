@@ -1,0 +1,131 @@
+"""Multi-tick convergence + full-state save/resume (VERDICT round-1 item 6).
+
+Covers reference behaviors at `training_loop.py:314-443` (hot loop descends)
+and `:503-560` (snapshot/resume) — and goes beyond the reference by
+checkpointing optimizer state for bit-identical continuation (the reference
+resume is params-only, SURVEY.md 5.4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gnerf_tpu.models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
+from gnerf_tpu.training import (
+    SyntheticDataset,
+    TrainConfig,
+    VGG16LPIPS,
+    data_iterator,
+    init_train_state,
+    make_optimizers,
+    make_train_step,
+)
+from gnerf_tpu.training.train_loop import load_train_state, save_train_state
+
+
+def tiny_setup(dtype=jnp.float32, batch: int = 4):
+    """Tiny-but-complete model graph (same shape recipe as the driver's
+    multichip dryrun): full component set, minimal sizes."""
+    render_res = 8
+    g = TriPlaneGenerator(
+        z_dim=64, w_dim=64, img_resolution=128, plane_resolution=32,
+        channel_base=2048, channel_max=64, mapping_layers=2,
+        neural_rendering_resolution=render_res,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=8, depth_resolution_importance=8,
+        ),
+    )
+    enc = ResNeXt50Encoder(out_dim=g.z_dim)
+    disc = Discriminator(c_dim=25, img_resolution=render_res, img_channels=1,
+                         channel_base=512, channel_max=64, mbstd_group_size=1)
+    vgg = VGG16LPIPS(resize_to=32)
+    cfg = TrainConfig(batch_size=batch, neural_rendering_resolution=render_res,
+                      gan_depth=True, train_en=True, train_gen=True,
+                      dtype=dtype)
+    state = init_train_state(g, enc, disc, vgg, cfg, jax.random.PRNGKey(0))
+    opt_g, opt_d = make_optimizers(g, state.params_e, state.params_g, cfg)
+    step = jax.jit(make_train_step(g, enc, disc, vgg, opt_g, opt_d, cfg))
+    ds = SyntheticDataset(resolution=16, depth_resolution=render_res, size=32)
+    return g, enc, disc, vgg, cfg, state, step, ds
+
+
+def test_multi_tick_convergence_bf16_with_depth_gan():
+    """~50 steps on synthetic data in bf16 with the depth-GAN branch live:
+    the reconstruction loss must descend and every stat stay finite (the
+    depth-D + R1 dynamics are the fragile part in low precision)."""
+    _, _, _, _, _, state, step, ds = tiny_setup(dtype=jnp.bfloat16)
+    batches = data_iterator(ds, batch_size=4, seed=1)
+    rng = jax.random.PRNGKey(2)
+    totals, l1s = [], []
+    for i in range(50):
+        rng, key = jax.random.split(rng)
+        batch = {k: jnp.asarray(v) for k, v in next(batches).items()}
+        state, stats = step(state, batch, key)
+        t = float(stats["Loss/G/total"])
+        assert np.isfinite(t), f"non-finite G loss at step {i}: {stats}"
+        assert np.isfinite(float(stats["Loss/D/total"])), f"D diverged at {i}"
+        assert np.isfinite(float(stats["Loss/D/r1"])), f"R1 blew up at {i}"
+        totals.append(t)
+        l1s.append(float(stats["Loss/G/l1_loss_raw"]))
+    first, last = np.mean(l1s[:10]), np.mean(l1s[-10:])
+    assert last < first, (
+        f"reconstruction did not descend: first10={first:.4f} last10={last:.4f}")
+    # Params must remain finite too (EMA included).
+    for leaf in jax.tree_util.tree_leaves(state.params_g_ema):
+        assert bool(jnp.isfinite(leaf).all())
+
+
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_save_resume_bit_identical(tmp_path, backend):
+    """Save full state mid-run, continue 3 steps; reload into a fresh
+    template and replay the same 3 batches: results must be BIT-identical
+    (params, EMA, optimizer moments, cur_nimg)."""
+    g, enc, disc, vgg, cfg, state, step, ds = tiny_setup()
+    batches = data_iterator(ds, batch_size=4, seed=3)
+    fixed = [
+        {k: jnp.asarray(v) for k, v in next(batches).items()} for _ in range(8)
+    ]
+    rng_keys = [jax.random.PRNGKey(100 + i) for i in range(8)]
+    for i in range(5):
+        state, _ = step(state, fixed[i], rng_keys[i])
+
+    path = str(tmp_path / ("ts.npz" if backend == "npz" else "ts_orbax"))
+    save_train_state(path, state, config={"note": "test"}, backend=backend)
+
+    # Branch A: continue in-memory.
+    state_a = state
+    for i in range(5, 8):
+        state_a, _ = step(state_a, fixed[i], rng_keys[i])
+
+    # Branch B: fresh template <- checkpoint, replay the same steps.
+    template = init_train_state(g, enc, disc, vgg, cfg, jax.random.PRNGKey(9))
+    state_b, config = load_train_state(path, template, backend=backend)
+    assert config == {"note": "test"}
+    assert int(state_b.cur_nimg) == 5 * 4
+    for i in range(5, 8):
+        state_b, _ = step(state_b, fixed[i], rng_keys[i])
+
+    leaves_a = jax.tree_util.tree_leaves(jax.device_get(state_a))
+    leaves_b = jax.tree_util.tree_leaves(jax.device_get(state_b))
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_load_train_state_rejects_config_mismatch(tmp_path):
+    g, enc, disc, vgg, cfg, state, _, _ = tiny_setup()
+    path = str(tmp_path / "ts.npz")
+    save_train_state(path, state)
+    # A template without the discriminator has a different leaf count.
+    bad = init_train_state(g, enc, None, vgg,
+                           TrainConfig(batch_size=4, gan_depth=False,
+                                       neural_rendering_resolution=8,
+                                       train_en=True, train_gen=True),
+                           jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="leaves"):
+        load_train_state(path, bad)

@@ -1,0 +1,150 @@
+"""Stage-by-stage device profiling of the render pipeline on the real TPU.
+
+Times each stage of the flagship workload (15-frame batch, 64^2 render,
+48+48 spp, 512^2 8XDC SR) in isolation with scalar-fenced timing, to
+direct kernel-fusion work at the actual bottlenecks:
+
+    python tools/profile_renderer.py
+
+Stages: plane pack, packed gather (coarse-pass points), decoder MLP,
+ray-march compositing, importance sampling, sort-merge, full volumetric
+render, SR, full frame.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fence(x):
+    return float(jnp.sum(x.astype(jnp.float32) if hasattr(x, "astype") else x))
+
+
+def timeit(fn, *args, reps=5):
+    out = fn(*args)
+    fence(out[0] if isinstance(out, tuple) else out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        fence(out[0] if isinstance(out, tuple) else out)
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def main():
+    from gnerf_tpu.models import TriPlaneGenerator
+    from gnerf_tpu.render import renderer as R
+    from gnerf_tpu.render import importance as I
+    from gnerf_tpu.render.ray_marcher import march_rays
+    from gnerf_tpu.render.ray_sampler import sample_rays
+    from gnerf_tpu.utils import camera
+
+    dtype = jnp.bfloat16
+    g = TriPlaneGenerator()
+    params = g.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, g.z_dim))
+    c0 = camera.pose_to_label(
+        camera.lookat_sample(np.pi / 2, np.pi / 2, radius=2.7),
+        camera.FFHQ_INTRINSICS,
+    )
+    F = 15  # frames per batch (bench.py production setting)
+    res = g.neural_rendering_resolution
+    S = g.rendering_kwargs["depth_resolution"]
+    opts = dict(g.rendering_kwargs)
+
+    ws = g.mapping(params, z, c0)
+    raw_planes = jax.jit(
+        lambda p, w: g.backbone_planes(p, w, noise_mode="const", dtype=dtype,
+                                       pack=False)
+    )(params, ws)
+    packed = jax.jit(R.pack_planes)(raw_planes)
+
+    cs = jnp.concatenate([
+        camera.pose_to_label(
+            camera.lookat_sample(np.pi / 2 + 0.1 * i, np.pi / 2, radius=2.7),
+            camera.FFHQ_INTRINSICS)
+        for i in range(F)
+    ], axis=0)
+    cam2world = cs[:, :16].reshape(-1, 4, 4)
+    intr = cs[:, 16:25].reshape(-1, 3, 3)
+    o, d = jax.jit(lambda a, b: sample_rays(a, b, res))(cam2world, intr)
+    Rrays = o.shape[1]
+
+    # Representative coarse-pass points.
+    ray_start, ray_end = opts["ray_start"], opts["ray_end"]
+    depths = jax.jit(lambda o: I.sample_stratified(None, o, ray_start, ray_end, S))(o)
+    pts = (o[:, :, None, :] + depths * d[:, :, None, :]).reshape(F, -1, 3)
+    dirs = jnp.broadcast_to(d[:, :, None, :], (F, Rrays, S, 3)).reshape(F, -1, 3)
+    M = pts.shape[1]
+
+    results = {}
+    results["pack_planes_ms"] = timeit(jax.jit(R.pack_planes), raw_planes) * 1e3
+
+    gather = jax.jit(
+        lambda pk, c: R.sample_packed_planes(pk, c, opts["box_warp"]))
+    results["gather_coarse_ms"] = timeit(gather, packed, pts) * 1e3
+
+    feats = gather(packed, pts)
+    dec = jax.jit(lambda f, dd: g.decoder.apply(params["decoder"], f, dd))
+    results["decoder_ms"] = timeit(dec, feats, dirs) * 1e3
+
+    out = dec(feats, dirs)
+    colors = out["rgb"].reshape(F, Rrays, S, -1)
+    sigmas = out["sigma"].reshape(F, Rrays, S, 1)
+
+    march = jax.jit(lambda c, s, dd: march_rays(c, s, dd, opts))
+    results["march_ms"] = timeit(march, colors, sigmas, depths) * 1e3
+
+    _, _, weights = march(colors, sigmas, depths)
+    imp = jax.jit(lambda dd, w: I.sample_importance(None, dd, w, S))
+    results["importance_ms"] = timeit(imp, depths, weights) * 1e3
+
+    fine = imp(depths, weights)
+    unify = jax.jit(lambda *a: R.unify_samples(*a, method="onehot"))
+    results["sortmerge_onehot_ms"] = timeit(
+        unify, depths, colors, sigmas, fine, colors, sigmas) * 1e3
+    unify_s = jax.jit(lambda *a: R.unify_samples(*a, method="sort"))
+    results["sortmerge_sort_ms"] = timeit(
+        unify_s, depths, colors, sigmas, fine, colors, sigmas) * 1e3
+
+    full_vol = jax.jit(
+        lambda pk, oo, dd: R.render_rays(pk,
+            lambda f, di: g.decoder.apply(params["decoder"], f, di),
+            oo, dd, opts, rng=None))
+    results["volumetric_total_ms"] = timeit(full_vol, packed, o, d) * 1e3
+
+    feats_img, _, _ = full_vol(packed, o, d)
+    feature_image = feats_img.transpose(0, 2, 1).reshape(F, -1, res, res)
+    wsb = jnp.broadcast_to(ws, (F,) + ws.shape[1:])
+    sr = jax.jit(lambda fi, w: g.superresolution.apply(
+        params["superresolution"], fi[:, :3], fi, w, noise_mode="none",
+        dtype=dtype)[0])
+    results["sr_ms"] = timeit(sr, feature_image, wsb) * 1e3
+
+    full = jax.jit(lambda p, pk, w, c: g.render_planes(
+        p, pk, c, jnp.broadcast_to(w, (F,) + w.shape[1:]),
+        noise_mode="const", dtype=dtype)["image"])
+    results["full_frame_batch_ms"] = timeit(full, params, packed, ws, cs) * 1e3
+
+    per_frame = {k: v / F for k, v in results.items()
+                 if k not in ("pack_planes_ms",)}
+    print("=== per frame-batch (15 frames) ===")
+    for k, v in results.items():
+        print(f"{k:28s} {v:9.3f}")
+    print("=== per frame ===")
+    for k, v in per_frame.items():
+        print(f"{k:28s} {v:9.3f}")
+    print(f"rows/frame gather: {M * 3 / 1e6:.2f}M coarse (x2 passes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,39 @@ class OSGDecoder:
         sigma = x[..., 0:1]
         return {"rgb": rgb, "sigma": sigma}
 
+    def apply_rows(self, params: Params, rows: jax.Array,
+                   out_shape: tuple) -> Mapping[str, jax.Array]:
+        """Folded fast path: consume point-major weighted gather rows
+        ([P, 12*C] from `render.renderer.sample_packed_rows` — 3 planes x 4
+        bilinear corners x C channels, corner weights pre-applied).
+
+        The first matmul against a 12x-tiled W1/3 computes
+        bilinear-combine + 3-plane mean + FC0 in one MXU pass:
+          sum_{p,c} (w_pc * x_pc) @ (W1/3) == mean_p(bilinear_p) @ W1.
+        Mathematically identical to apply() (summation order aside);
+        parity-tested in tests/test_packed_planes.py."""
+        from ..ops.precision import dot_precision
+
+        N, M = out_shape
+        lr = self.decoder_lr_mul
+        c = self.n_features
+        h = self.hidden_dim
+        w1e = (params["fc0"]["weight"] * (lr / math.sqrt(c))).T  # [C, H]
+        b1e = params["fc0"]["bias"] * lr
+        w2e = (params["fc1"]["weight"] * (lr / math.sqrt(h))).T  # [H, D]
+        b2e = params["fc1"]["bias"] * lr
+        w1t = jnp.tile(w1e / 3.0, (12, 1)).astype(rows.dtype)  # [12C, H]
+        x = jnp.dot(rows, w1t, precision=dot_precision(rows.dtype),
+                    preferred_element_type=jnp.float32) + b1e
+        x = jax.nn.softplus(x)
+        x = jnp.dot(x.astype(rows.dtype), w2e.astype(rows.dtype),
+                    precision=dot_precision(rows.dtype),
+                    preferred_element_type=jnp.float32) + b2e
+        x = x.reshape(N, M, -1)
+        rgb = jax.nn.sigmoid(x[..., 1:]) * (1 + 2 * 0.001) - 0.001
+        sigma = x[..., 0:1]
+        return {"rgb": rgb, "sigma": sigma}
+
     def _apply_fused(self, params: Params, feats: jax.Array,
                      interpret: bool = False) -> jax.Array:
         """Pallas path: whole MLP in VMEM (see ops/fused_decoder.py).
@@ -213,6 +246,12 @@ class TriPlaneGenerator:
             params["backbone"]["synthesis"], ws,
             noise_mode=noise_mode, rng=rng, dtype=dtype,
         )
+        # The StyleGAN2 ToRGB skip accumulates in fp32 regardless of block
+        # dtype (stylegan2.py:462, reference semantics), so without this
+        # cast bf16 mode silently emitted fp32 planes — doubling plane
+        # gather bytes and dragging the whole sampling chain to fp32
+        # (found via an XLA HBM dump: f32[17.7M,128] gather temps).
+        planes = planes.astype(dtype)
         N = planes.shape[0]
         planes = planes.reshape(
             N, 3, self.plane_channels, planes.shape[-2], planes.shape[-1]
@@ -252,6 +291,16 @@ class TriPlaneGenerator:
 
         def decode(feats, dirs):
             return decoder.apply(params["decoder"], feats, dirs)
+
+        # Folded gather->decoder path (renderer.run_model): measured LOSS on
+        # v5e (59.4 vs 72.2 f/s — the 12x-tiled first matmul triples K tiles
+        # and the pre-weighted rows materialize), so opt-in only via
+        # rendering_kwargs decoder_rows_path=True. Kept because its fusion
+        # structure may win on other chips / future XLA.
+        if opts.get("decoder_rows_path", False):
+            decode.rows_fn = lambda rows, shape: decoder.apply_rows(
+                params["decoder"], rows, shape
+            )
 
         feature_samples, depth_samples, _ = render_rays(
             planes, decode, ray_origins, ray_dirs, opts, rng=k_render

@@ -161,6 +161,70 @@ def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
     return out.reshape(N, n_planes, M, C)
 
 
+def sample_packed_rows(packed: PackedPlanes, coordinates: jax.Array,
+                       box_warp: float) -> jax.Array:
+    """Point-major packed sampling for the folded decoder path.
+
+    Same single row-gather as `sample_packed_planes`, but rows are ordered
+    (batch, point, plane) and the per-corner bilinear weights are applied
+    WITHOUT combining corners or averaging planes: the output
+    [N*M, 12*C] (plane-major blocks of 4 corners x C channels) feeds
+    `OSGDecoder.apply_rows`, whose first matmul against a 12x-tiled W1/3
+    computes bilinear-combine + plane-mean + FC0 in ONE MXU pass — the
+    [N,3,M,C] feature tensor (fp32, 4x lane padding in HBM) never exists.
+    """
+    N = coordinates.shape[0]
+    n_planes, C = 3, packed.c
+    H, W, ky, kx = packed.h, packed.w, packed.ky, packed.kx
+    assert H == W, "packed sampling assumes square planes"
+    assert packed.n in (N, 1)
+    M = coordinates.shape[1]
+    dtype = packed.rows.dtype
+
+    p_axis = ((2.0 / box_warp) * coordinates + 1.0) * W
+    p_axis = (p_axis - 1.0) / 2.0  # [N, M, 3]
+    p0f = jnp.floor(p_axis)
+    w_axis = (p_axis - p0f).astype(dtype)
+    i_axis = p0f.astype(jnp.int32)
+
+    def per_plane(a):  # [N, M, axis] -> [N, M, plane]
+        return (jnp.stack([a[..., 0], a[..., 0], a[..., 2]], axis=-1),
+                jnp.stack([a[..., 1], a[..., 2], a[..., 0]], axis=-1))
+
+    x0, y0 = per_plane(i_axis)  # [N, M, 3]
+    wx, wy = per_plane(w_axis)
+
+    xp = x0 + 1
+    yp = y0 + 1
+    a = xp & 1
+    b = yp & 1
+    cellx = jnp.clip((xp - a) >> 1, 0, kx - 1)
+    celly = jnp.clip((yp - b) >> 1, 0, ky - 1)
+    if packed.n == 1 and N > 1:
+        base = jnp.arange(n_planes, dtype=jnp.int32).reshape(1, 1, n_planes)
+    else:
+        base = jnp.arange(N * n_planes, dtype=jnp.int32).reshape(N, 1, n_planes)
+    rows = (((base * 2 + b) * 2 + a) * ky + celly) * kx + cellx  # [N, M, 3]
+
+    gathered = jnp.take_along_axis(
+        packed.rows, rows.reshape(-1)[:, None], axis=0
+    )  # [N*M*3, 4C], lane blocks (y0,x0) (y0,x1) (y1,x0) (y1,x1)
+
+    def mask(ix, iy):
+        return ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)).astype(dtype)
+
+    w00 = (1 - wx) * (1 - wy) * mask(x0, y0)
+    w01 = wx * (1 - wy) * mask(x0 + 1, y0)
+    w10 = (1 - wx) * wy * mask(x0, y0 + 1)
+    w11 = wx * wy * mask(x0 + 1, y0 + 1)
+    cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # [N, M, 3, 4]
+    # Expand weights over channels and apply; XLA fuses this elementwise
+    # chain into the gather consumer (single pass over the rows).
+    wexp = jnp.repeat(cw.reshape(-1, 4), C, axis=-1)  # [N*M*3, 4C]
+    weighted = gathered * wexp
+    return weighted.reshape(N * M, n_planes * 4 * C)
+
+
 def project_onto_planes(coordinates: jax.Array) -> jax.Array:
     """[N, M, 3] box coords -> [N, 3, M, 2] per-plane UVs (x indexes W)."""
     x, y, z = coordinates[..., 0], coordinates[..., 1], coordinates[..., 2]
@@ -247,16 +311,28 @@ def run_model(
     """Tri-plane lookup + decoder MLP at arbitrary 3D points.
 
     Accepts raw [N, 3, C, H, W] planes or PackedPlanes (pack once per
-    identity with `pack_planes` for the fast single-gather path)."""
-    if isinstance(plane_features, PackedPlanes):
+    identity with `pack_planes` for the fast single-gather path). When the
+    decoder closure carries a `rows_fn` attribute (the OSG folded path,
+    `triplane.py::OSGDecoder.apply_rows`), packed planes are sampled
+    point-major and bilinear-combine + plane-mean fold into the decoder's
+    first matmul — the [N, 3, M, C] feature tensor never materializes."""
+    rows_fn = getattr(decoder, "rows_fn", None)
+    if isinstance(plane_features, PackedPlanes) and rows_fn is not None:
+        N, M = sample_coordinates.shape[:2]
+        rows = sample_packed_rows(
+            plane_features, sample_coordinates, box_warp=options["box_warp"]
+        )
+        out = dict(rows_fn(rows, (N, M)))
+    elif isinstance(plane_features, PackedPlanes):
         feats = sample_packed_planes(
             plane_features, sample_coordinates, box_warp=options["box_warp"]
         )
+        out = dict(decoder(feats, sample_directions))
     else:
         feats = sample_from_planes(
             plane_features, sample_coordinates, box_warp=options["box_warp"]
         )
-    out = dict(decoder(feats, sample_directions))
+        out = dict(decoder(feats, sample_directions))
     noise = options.get("density_noise", 0)
     if noise > 0 and rng is not None:
         out["sigma"] = out["sigma"] + jax.random.normal(rng, out["sigma"].shape) * noise

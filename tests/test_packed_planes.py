@@ -96,3 +96,52 @@ def test_triplane_generator_packed_path():
     o2 = g.render_planes(p, packed, c, ws, noise_mode="none")
     np.testing.assert_allclose(np.asarray(o2["image"]), np.asarray(o1["image"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_rows_path_matches_regular_decoder():
+    """sample_packed_rows + OSGDecoder.apply_rows (bilinear+mean folded into
+    the first matmul) must match sample_packed_planes + OSGDecoder.apply."""
+    from gnerf_tpu.models.triplane import OSGDecoder
+    from gnerf_tpu.render.renderer import sample_packed_rows
+
+    rng = np.random.RandomState(3)
+    N, C, H, W, M = 2, 32, 16, 16, 300
+    planes = jnp.asarray(rng.randn(N, 3, C, H, W), jnp.float32)
+    pts = jnp.asarray(
+        np.concatenate([
+            rng.uniform(-0.55, 0.55, (N, M - 2, 3)),
+            np.array([[[-0.5, -0.5, -0.5], [0.7, 0.0, 0.0]]] * N),
+        ], axis=1), jnp.float32)
+    dec = OSGDecoder(n_features=C)
+    params = dec.init(jax.random.PRNGKey(0))
+
+    feats = sample_packed_planes(pack_planes(planes), pts, box_warp=1.0)
+    want = dec.apply(params, feats)
+
+    rows = sample_packed_rows(pack_planes(planes), pts, box_warp=1.0)
+    got = dec.apply_rows(params, rows, (N, M))
+
+    np.testing.assert_allclose(np.asarray(got["sigma"]),
+                               np.asarray(want["sigma"]), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got["rgb"]),
+                               np.asarray(want["rgb"]), rtol=2e-4, atol=2e-5)
+
+
+def test_rows_path_shared_planes_across_frames():
+    """packed.n == 1 with a frame batch N > 1 (the video workload)."""
+    from gnerf_tpu.models.triplane import OSGDecoder
+    from gnerf_tpu.render.renderer import sample_packed_rows
+
+    rng = np.random.RandomState(4)
+    C, H, W, M, F = 16, 16, 16, 64, 3
+    planes = jnp.asarray(rng.randn(1, 3, C, H, W), jnp.float32)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (F, M, 3)), jnp.float32)
+    dec = OSGDecoder(n_features=C)
+    params = dec.init(jax.random.PRNGKey(1))
+
+    feats = sample_packed_planes(pack_planes(planes), pts, box_warp=1.0)
+    want = dec.apply(params, feats)
+    rows = sample_packed_rows(pack_planes(planes), pts, box_warp=1.0)
+    got = dec.apply_rows(params, rows, (F, M))
+    np.testing.assert_allclose(np.asarray(got["sigma"]),
+                               np.asarray(want["sigma"]), rtol=2e-4, atol=2e-5)

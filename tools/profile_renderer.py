@@ -25,17 +25,16 @@ import numpy as np
 
 
 def fence(x):
-    return float(jnp.sum(x.astype(jnp.float32) if hasattr(x, "astype") else x))
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
 
 
 def timeit(fn, *args, reps=5):
-    out = fn(*args)
-    fence(out[0] if isinstance(out, tuple) else out)
+    fence(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        fence(out[0] if isinstance(out, tuple) else out)
+        fence(fn(*args))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
 
@@ -93,6 +92,20 @@ def main():
         lambda pk, c: R.sample_packed_planes(pk, c, opts["box_warp"]))
     results["gather_coarse_ms"] = timeit(gather, packed, pts) * 1e3
 
+    rows_gather = jax.jit(
+        lambda pk, c: R.sample_packed_rows(pk, c, opts["box_warp"]))
+    results["gather_rows_ms"] = timeit(rows_gather, packed, pts) * 1e3
+
+    rows = rows_gather(packed, pts)
+    dec_rows = jax.jit(lambda r: g.decoder.apply_rows(
+        params["decoder"], r, (F, M)))
+    results["decoder_rows_ms"] = timeit(dec_rows, rows) * 1e3
+
+    fused_rows = jax.jit(lambda pk, c: g.decoder.apply_rows(
+        params["decoder"], R.sample_packed_rows(pk, c, opts["box_warp"]),
+        (F, M)))
+    results["gather_plus_decode_rows_ms"] = timeit(fused_rows, packed, pts) * 1e3
+
     feats = gather(packed, pts)
     dec = jax.jit(lambda f, dd: g.decoder.apply(params["decoder"], f, dd))
     results["decoder_ms"] = timeit(dec, feats, dirs) * 1e3
@@ -116,10 +129,17 @@ def main():
     results["sortmerge_sort_ms"] = timeit(
         unify_s, depths, colors, sigmas, fine, colors, sigmas) * 1e3
 
+    def _decode_closure():
+        def decode(f, di):
+            return g.decoder.apply(params["decoder"], f, di)
+
+        decode.rows_fn = lambda r, shape: g.decoder.apply_rows(
+            params["decoder"], r, shape)
+        return decode
+
     full_vol = jax.jit(
-        lambda pk, oo, dd: R.render_rays(pk,
-            lambda f, di: g.decoder.apply(params["decoder"], f, di),
-            oo, dd, opts, rng=None))
+        lambda pk, oo, dd: R.render_rays(pk, _decode_closure(),
+                                         oo, dd, opts, rng=None))
     results["volumetric_total_ms"] = timeit(full_vol, packed, o, d) * 1e3
 
     feats_img, _, _ = full_vol(packed, o, d)

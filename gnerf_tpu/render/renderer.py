@@ -353,13 +353,14 @@ def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2,
     all_depths = jnp.concatenate([depths1, depths2], axis=-2)
     all_colors = jnp.concatenate([colors1, colors2], axis=-2)
     all_densities = jnp.concatenate([densities1, densities2], axis=-2)
-    payload = jnp.concatenate([all_depths, all_colors, all_densities], axis=-1)
     d = all_depths.shape[-1]
     c = all_colors.shape[-1]
 
     if method == "sort":
         # [N, R, S, L] -> variadic sort of L same-shape operands keyed by
         # the depth lane, all permuted in one pass.
+        payload = jnp.concatenate(
+            [all_depths, all_colors, all_densities], axis=-1)
         lanes = tuple(payload[..., i] for i in range(payload.shape[-1]))
         sorted_lanes = jax.lax.sort(
             (all_depths[..., 0],) + lanes, dimension=-1, num_keys=1
@@ -368,13 +369,21 @@ def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2,
     else:
         s = all_depths.shape[-2]
         idx = jnp.argsort(all_depths[..., 0], axis=-1)  # [N, R, S]
-        oh = jax.nn.one_hot(idx, s, dtype=all_colors.dtype)  # [N, R, S, S]
-        # Full fp32 precision: the default fp32 dot is bf16-class on TPU and
-        # would quantize the permuted depths/colors to 1/64 steps (the
-        # one-hot weights carry exact data). Caught by
-        # tests/test_reference_parity.py.
-        payload = jnp.einsum("nrij,nrjc->nric", oh, payload,
-                             precision=dot_precision(payload.dtype))
+        # Split the permute by dtype: depths/densities are fp32 and need
+        # Precision.HIGHEST (the default fp32 dot is bf16-class on TPU and
+        # would quantize them to 1/64 steps — caught by
+        # tests/test_reference_parity.py), but when colors are bf16 a
+        # DEFAULT-precision bf16 one-hot contraction transports them
+        # EXACTLY (single nonzero per output row) at ~6x the HIGHEST fp32
+        # rate — the S x 34-lane HIGHEST einsum shrinks to S x 2.
+        scalars = jnp.concatenate([all_depths, all_densities], axis=-1)
+        oh32 = jax.nn.one_hot(idx, s, dtype=scalars.dtype)
+        scalars = jnp.einsum("nrij,nrjc->nric", oh32, scalars,
+                             precision=dot_precision(scalars.dtype))
+        ohc = oh32.astype(all_colors.dtype) if all_colors.dtype != scalars.dtype else oh32
+        colors = jnp.einsum("nrij,nrjc->nric", ohc, all_colors,
+                            precision=dot_precision(all_colors.dtype))
+        return (scalars[..., :d], colors, scalars[..., d:])
     return payload[..., :d], payload[..., d : d + c], payload[..., d + c :]
 
 

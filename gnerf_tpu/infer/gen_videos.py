@@ -208,9 +208,16 @@ def generate_videos(
     if gen_shapes:
         from .shape_utils import extract_sigma_grid, write_mrc
 
+        # Shard the embarrassingly-parallel sigma sweep across every
+        # attached chip (single chip: plain path, identical results).
+        mesh = None
+        if len(jax.devices()) > 1:
+            from ..parallel import make_mesh
+
+            mesh = make_mesh()
         sigmas = extract_sigma_grid(
             g, params_g, ws[:1], voxel_resolution=shape_res,
-            cube_length=rk["box_warp"],
+            cube_length=rk["box_warp"], mesh=mesh,
         )
         os.makedirs(os.path.join(outdir, name), exist_ok=True)
         mrc_path = os.path.join(outdir, name, f"{frames - 1}.mrc")

@@ -55,11 +55,17 @@ def extract_sigma_grid(
     cube_length: float = 1.0,
     max_batch: int = 1 << 20,
     apply_pad_mask: bool = True,
+    mesh=None,
 ) -> np.ndarray:
     """[res, res, res] float32 sigma volume for one identity.
 
     Matches the reference post-processing: axis-0 flip + border zeroing
-    (`gen_videos.py:211-221`)."""
+    (`gen_videos.py:211-221`).
+
+    The 512³ sweep is embarrassingly parallel over points (SURVEY 3.4:
+    "ideal TPU mesh sharding demo"): pass a `jax.sharding.Mesh` to shard
+    each chunk's point axis over the mesh's 'data' axis with replicated
+    planes — XLA runs every chip on its slice with zero collectives."""
     samples, _, _ = create_samples(voxel_resolution, cube_length)
     total = samples.shape[1]
 
@@ -69,12 +75,30 @@ def extract_sigma_grid(
 
     from ..render.renderer import run_model
 
-    @jax.jit
-    def eval_chunk(planes, coords):
+    def eval_chunk_fn(planes, coords):
         dirs = jnp.zeros_like(coords).at[..., 2].set(-1.0)
         out = run_model(planes, lambda f, d: decoder.apply(params_g["decoder"], f, d),
                         coords, dirs, opts)
         return out["sigma"]
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        pts_sh = NamedSharding(mesh, P(None, "data", None))
+        n_dev = mesh.devices.size
+        max_batch = -(-max_batch // n_dev) * n_dev  # divisible chunks
+        planes = jax.device_put(planes, repl)
+        eval_chunk = jax.jit(eval_chunk_fn, in_shardings=(repl, pts_sh),
+                             out_shardings=pts_sh)
+
+        def put(chunk):
+            return jax.device_put(jnp.asarray(chunk), pts_sh)
+    else:
+        eval_chunk = jax.jit(eval_chunk_fn)
+
+        def put(chunk):
+            return jnp.asarray(chunk)
 
     sigmas = np.empty((total,), dtype=np.float32)
     head = 0
@@ -84,7 +108,7 @@ def extract_sigma_grid(
         if n < max_batch:  # pad to the static shape; single compilation
             pad = np.zeros((1, max_batch - n, 3), dtype=np.float32)
             chunk = np.concatenate([chunk, pad], axis=1)
-        out = np.asarray(eval_chunk(planes, jnp.asarray(chunk)))[0, :n, 0]
+        out = np.asarray(eval_chunk(planes, put(chunk)))[0, :n, 0]
         sigmas[head : head + n] = out
         head += n
 

@@ -95,3 +95,31 @@ def test_extract_sigma_grid_tiny():
     vol2 = extract_sigma_grid(g, p, ws, voxel_resolution=16, cube_length=1.0,
                               max_batch=16 ** 3, apply_pad_mask=False)
     np.testing.assert_allclose(vol, vol2, rtol=1e-4, atol=1e-5)
+
+
+def test_extract_sigma_grid_mesh_sharded():
+    """Sharding the sigma sweep's point axis over an 8-device mesh must not
+    change results (SURVEY 3.4's embarrassingly-parallel scale-out)."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gnerf_tpu.parallel import make_mesh
+
+    g = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+        ),
+    )
+    p = g.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 16))
+    ws = g.mapping(p, z, jnp.zeros((1, 25)))
+    want = extract_sigma_grid(g, p, ws, voxel_resolution=16, cube_length=1.0,
+                              max_batch=1024, apply_pad_mask=False)
+    got = extract_sigma_grid(g, p, ws, voxel_resolution=16, cube_length=1.0,
+                             max_batch=1024, apply_pad_mask=False,
+                             mesh=make_mesh(data=8))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -48,6 +48,123 @@ def _imread_rgb_chw(path: str) -> np.ndarray:
     return img.transpose(2, 0, 1)  # HWC -> CHW uint8
 
 
+class ImageFolderDataset:
+    """Generic EG3D-style image dataset: a directory tree OR a .zip archive
+    of images with optional `dataset.json` camera labels.
+
+    Capability equivalent of the reference base `ImageFolderDataset`
+    (`dataset.py:167-247`): this is the on-disk format EG3D training data
+    ships in (zip of images + {"labels": [[fname, [...25 floats]], ...]}),
+    consumed here by the EG3D adversarial objective
+    (`train.py --objective eg3d`) and evaluation. Items use the framework's
+    dict contract (image mirrored into condition/loss slots, factor=1) so
+    every consumer of `data_iterator` works unchanged.
+
+    xflip=True appends horizontally-flipped copies with the reference's
+    label adjustment-free convention (reference `dataset.py:56-60` flips
+    only the raw image; pose labels are reused as-is there too)."""
+
+    _EXTS = (".png", ".jpg", ".jpeg")
+
+    def __init__(self, path: str, resolution: int = 512,
+                 max_size: Optional[int] = None, xflip: bool = False):
+        self.resolution = resolution
+        self._zip = None
+        self._path = path
+        if path.endswith(".zip"):
+            import zipfile
+
+            self._zip = zipfile.ZipFile(path)
+            names = [n for n in self._zip.namelist()
+                     if n.lower().endswith(self._EXTS)]
+        else:
+            names = []
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    if fn.lower().endswith(self._EXTS):
+                        rel = os.path.relpath(os.path.join(root, fn), path)
+                        names.append(rel)
+        self._names = sorted(names)
+        if not self._names:
+            raise IOError(f"No images found in {path}")
+
+        self._labels = {}
+        raw = self._read_file("dataset.json")
+        if raw is not None:
+            entries = json.loads(raw.decode("utf-8")).get("labels") or []
+            self._labels = {fname.replace("\\", "/"): np.asarray(lab, np.float32)
+                            for fname, lab in entries}
+
+        if max_size is not None:
+            self._names = self._names[:max_size]
+        self._xflip = xflip
+        self._base = len(self._names)
+
+    def _read_file(self, name: str) -> Optional[bytes]:
+        if self._zip is not None:
+            try:
+                return self._zip.read(name)
+            except KeyError:
+                return None
+        p = os.path.join(self._path, name)
+        if os.path.isfile(p):
+            with open(p, "rb") as f:
+                return f.read()
+        return None
+
+    def _load_image(self, name: str) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        raw = self._read_file(name)
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+        if img.size != (self.resolution, self.resolution):
+            img = img.resize((self.resolution, self.resolution),
+                             Image.LANCZOS)
+        return np.asarray(img).transpose(2, 0, 1)  # CHW uint8
+
+    def __len__(self) -> int:
+        return self._base * (2 if self._xflip else 1)
+
+    @property
+    def label_dim(self) -> int:
+        return 25
+
+    def get_label(self, idx: int) -> np.ndarray:
+        name = self._names[idx % self._base].replace("\\", "/")
+        lab = self._labels.get(name)
+        if lab is None:
+            lab = np.zeros((25,), np.float32)
+        return lab
+
+    def get_label_std(self) -> np.ndarray:
+        """Per-dim std of all labels (reference `Dataset.get_label_std`,
+        `dataset.py:120` — used for disc_c_noise)."""
+        labs = np.stack([self.get_label(i) for i in range(self._base)])
+        return labs.std(axis=0).astype(np.float32)
+
+    def __getitem__(self, idx: int) -> dict:
+        flip = self._xflip and idx >= self._base
+        img = self._load_image(self._names[idx % self._base])
+        if flip:
+            img = img[:, :, ::-1].copy()
+        c = self.get_label(idx)
+        depth = np.zeros((1, 64, 64), np.float32)
+        return {
+            "condition_image": img,
+            "condition_c": c,
+            "loss_image": img,
+            "loss_c": c,
+            "random_image": img,
+            "random_c": c,
+            "c_depth_image": depth,
+            "l_depth_image": depth,
+            "flip_image": img[:, :, ::-1].copy(),
+            "factor": np.float32(1.0),
+        }
+
+
 class FFHQGenDataset:
     """Paired synth + real FFHQ training set (reference FFHQ_GEN_Dataset,
     `dataset.py:945-1112`)."""

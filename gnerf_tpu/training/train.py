@@ -41,6 +41,12 @@ RENDERING_PRESETS = {
                      avg_camera_radius=1.7, avg_camera_pivot=(0, 0, 0),
                      superresolution_module="SuperresolutionHybrid2X",
                      image_resolution=128),
+    # Generic EG3D-format folder/zip data (ImageFolderDataset): FFHQ optics.
+    "folder": dict(depth_resolution=48, depth_resolution_importance=48,
+                   ray_start=2.25, ray_end=3.3, box_warp=1.0,
+                   avg_camera_radius=2.7, avg_camera_pivot=(0, 0, 0.2),
+                   superresolution_module="SuperresolutionHybrid8XDC",
+                   image_resolution=512),
     "synthetic": dict(depth_resolution=12, depth_resolution_importance=12,
                       ray_start=2.25, ray_end=3.3, box_warp=1.0,
                       avg_camera_radius=2.7, avg_camera_pivot=(0, 0, 0.2),
@@ -122,6 +128,10 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
 
     if dataset_name == "synthetic":
         dataset = SyntheticDataset(resolution=img_resolution)
+    elif dataset_name == "folder" or data.endswith(".zip"):
+        from .dataset import ImageFolderDataset
+
+        dataset = ImageFolderDataset(path=data, resolution=img_resolution)
     else:
         dataset = FFHQGenDataset(path=data, real_path=real_data or None,
                                  resolution=img_resolution)
@@ -245,7 +255,12 @@ def run_training(
     from ..parallel import init_distributed, make_mesh, process_info
     from ..utils import checkpoint as ckpt_lib
     from ..utils.stats import Collector
-    from .dataset import FFHQGenDataset, SyntheticDataset, data_iterator
+    from .dataset import (
+        FFHQGenDataset,
+        ImageFolderDataset,
+        SyntheticDataset,
+        data_iterator,
+    )
     from .losses import VGG16LPIPS, ssim
     from .train_loop import (
         TrainConfig,
@@ -346,6 +361,8 @@ def run_training(
     if dataset_name == "synthetic":
         dataset = SyntheticDataset(resolution=img_resolution,
                                    depth_resolution=cfg.neural_rendering_resolution)
+    elif dataset_name == "folder" or data.endswith(".zip"):
+        dataset = ImageFolderDataset(path=data, resolution=img_resolution)
     else:
         dataset = FFHQGenDataset(path=data, real_path=real_data or None,
                                  resolution=img_resolution)

@@ -176,3 +176,55 @@ def test_reconstruction_metrics_and_frechet():
     )
     assert abs(fd_same) < 1e-4
     assert fd_diff > fd_same
+
+
+def test_image_folder_dataset_dir_and_zip(tmp_path):
+    """Generic EG3D-format data: directory AND zip archive with
+    dataset.json labels (reference ImageFolderDataset, dataset.py:167-247)."""
+    import zipfile
+
+    from PIL import Image
+
+    from gnerf_tpu.training.dataset import ImageFolderDataset
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "imgs"
+    root.mkdir()
+    labels = []
+    for i in range(4):
+        arr = rng.randint(0, 255, (32, 32, 3), np.uint8)
+        name = f"img{i:02d}.png"
+        Image.fromarray(arr).save(root / name)
+        labels.append([name, list(np.linspace(i, i + 1, 25))])
+    with open(root / "dataset.json", "w") as f:
+        json.dump({"labels": labels}, f)
+
+    ds = ImageFolderDataset(str(root), resolution=16)
+    assert len(ds) == 4
+    item = ds[1]
+    assert item["loss_image"].shape == (3, 16, 16)
+    assert item["loss_c"].shape == (25,)
+    np.testing.assert_allclose(item["loss_c"][0], 1.0)
+    std = ds.get_label_std()
+    assert std.shape == (25,) and np.all(std > 0)
+
+    # xflip doubles the set; flipped image mirrors.
+    ds_flip = ImageFolderDataset(str(root), resolution=16, xflip=True)
+    assert len(ds_flip) == 8
+    np.testing.assert_array_equal(
+        ds_flip[5]["loss_image"], ds_flip[1]["loss_image"][:, :, ::-1])
+
+    # Zip archive path: identical content.
+    zpath = tmp_path / "data.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in root.iterdir():
+            z.write(p, p.name)
+    dz = ImageFolderDataset(str(zpath), resolution=16)
+    assert len(dz) == 4
+    np.testing.assert_array_equal(dz[1]["loss_image"], ds[1]["loss_image"])
+    np.testing.assert_allclose(dz[1]["loss_c"], ds[1]["loss_c"])
+
+    # Missing labels -> zeros (unconditional mode).
+    (root / "dataset.json").unlink()
+    du = ImageFolderDataset(str(root), resolution=16)
+    np.testing.assert_array_equal(du[0]["loss_c"], np.zeros(25, np.float32))

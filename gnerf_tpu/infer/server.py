@@ -1,0 +1,283 @@
+"""Serving runtime: persistent model + identity cache behind HTTP.
+
+Production-shaped inference the reference has no equivalent of (its
+`gen_videos.py` reloads the pickle per invocation): load a checkpoint
+ONCE, keep the jitted render program and per-identity prepared state
+(mapping + packed tri-planes — the expensive, reusable part) resident,
+and serve frames over a minimal stdlib HTTP API:
+
+    POST /encode   {"image": <base64 png/jpg>} | {"seed": int}
+                   -> {"identity": "<id>"}           (runs E + backbone once)
+    POST /render   {"identity": "...", "yaw": float, "pitch": float,
+                    "radius": 2.7, "fov": null}
+                   -> image/png frame (512^2)
+    POST /orbit    {"identity": "...", "frames": int}
+                   -> multipart-free concatenated PNGs? No — returns an
+                      MJPEG AVI (video_io.MJPEGWriter) as video/avi.
+    GET  /healthz  -> {"ok": true, "identities": N}
+
+Design notes (TPU-first): every request shape is static — one compiled
+program serves all poses; the identity cache holds device-resident
+PackedPlanes (bf16, ~25 MB each) with LRU eviction; rendering batches of
+frames reuse the same chunked program as bench.py/gen_videos.
+
+Start:  python -m gnerf_tpu.infer.server --network g.npz --port 8000
+Library use: `GNerfService` (no HTTP) for embedding into other servers.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from collections import OrderedDict
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class GNerfService:
+    """Checkpoint-resident renderer with an LRU identity cache."""
+
+    def __init__(self, g, params_g, enc=None, params_e=None, state_e=None,
+                 max_identities: int = 16, dtype=jnp.bfloat16):
+        self.g = g
+        self.params_g = params_g
+        self.enc = enc
+        self.params_e = params_e
+        self.state_e = state_e
+        self.dtype = dtype
+        self._identities: OrderedDict[str, tuple] = OrderedDict()
+        self._max = max_identities
+        self._lock = threading.Lock()
+        self._counter = 0
+
+        @jax.jit
+        def _prepare(params, z, c):
+            ws = g.mapping(params, z, c)
+            planes = g.backbone_planes(params, ws, noise_mode="const",
+                                       dtype=dtype, pack=True)
+            return ws, planes
+
+        @jax.jit
+        def _render(params, planes, ws, c):
+            out = g.render_planes(params, planes, c, ws, noise_mode="const",
+                                  dtype=dtype)
+            img = jnp.clip((out["image"] + 1) * 127.5, 0, 255)
+            return img.astype(jnp.uint8)
+
+        self._prepare = _prepare
+        self._render = _render
+
+    # -- identities ---------------------------------------------------------
+
+    def encode_image(self, image_chw_uint8: np.ndarray) -> str:
+        """Identity from a reference image via the encoder E."""
+        if self.enc is None:
+            raise ValueError("service has no encoder loaded")
+        x = jnp.asarray(image_chw_uint8[None], jnp.float32) / 127.5 - 1.0
+        z, _ = self.enc.apply(self.params_e, self.state_e, x, train=False)
+        return self._register(z)
+
+    def encode_seed(self, seed: int) -> str:
+        z = jax.random.normal(jax.random.PRNGKey(seed), (1, self.g.z_dim))
+        return self._register(z)
+
+    def _register(self, z) -> str:
+        from ..utils import camera
+
+        c0 = camera.pose_to_label(
+            camera.lookat_sample(np.pi / 2, np.pi / 2, radius=2.7),
+            camera.FFHQ_INTRINSICS,
+        )
+        ws, planes = self._prepare(self.params_g, z, jnp.asarray(c0))
+        jax.block_until_ready(ws)
+        with self._lock:
+            self._counter += 1
+            ident = f"id{self._counter:06d}"
+            self._identities[ident] = (ws, planes)
+            while len(self._identities) > self._max:
+                self._identities.popitem(last=False)  # LRU eviction
+        return ident
+
+    def _get(self, identity: str):
+        with self._lock:
+            if identity not in self._identities:
+                raise KeyError(identity)
+            self._identities.move_to_end(identity)
+            return self._identities[identity]
+
+    # -- rendering ----------------------------------------------------------
+
+    def render_frame(self, identity: str, yaw: float = np.pi / 2,
+                     pitch: float = np.pi / 2, radius: float = 2.7,
+                     fov: Optional[float] = None) -> np.ndarray:
+        """One [H, W, 3] uint8 frame at the given orbit pose."""
+        from ..utils import camera
+
+        ws, planes = self._get(identity)
+        intr = (camera.fov_to_intrinsics(fov)
+                if fov is not None else camera.FFHQ_INTRINSICS)
+        c = camera.pose_to_label(
+            camera.lookat_sample(yaw, pitch, radius=radius), intr)
+        img = np.asarray(self._render(self.params_g, planes, ws,
+                                      jnp.asarray(c)))
+        return img[0].transpose(1, 2, 0)
+
+    def render_orbit(self, identity: str, frames: int = 30,
+                     radius: float = 2.7) -> list[np.ndarray]:
+        out = []
+        for i in range(frames):
+            yaw = np.pi / 2 + 0.7 * np.sin(2 * np.pi * i / frames)
+            pitch = np.pi / 2 - 0.05 + 0.3 * np.cos(2 * np.pi * i / frames)
+            out.append(self.render_frame(identity, yaw, pitch, radius))
+        return out
+
+    @property
+    def num_identities(self) -> int:
+        with self._lock:
+            return len(self._identities)
+
+
+def load_service(network: str, max_identities: int = 16) -> GNerfService:
+    """Build a service from a gnerf_tpu checkpoint npz."""
+    from ..models import ResNeXt50Encoder, TriPlaneGenerator
+    from ..utils import checkpoint as ckpt
+
+    trees, config = ckpt.load_checkpoint(network)
+    gen_cfg = dict((config or {}).get("generator") or {})
+    rk = gen_cfg.pop("rendering_kwargs", None)
+    if rk:
+        gen_cfg["rendering_kwargs"] = {
+            k: (tuple(v) if isinstance(v, list) else v) for k, v in rk.items()
+        }
+    g = TriPlaneGenerator(**gen_cfg)
+    params_g = trees.get("G_ema", trees.get("G"))
+    enc = params_e = state_e = None
+    if "E" in trees:
+        enc = ResNeXt50Encoder(out_dim=g.z_dim)
+        params_e = trees["E"]
+        state_e = trees.get("E_state")
+        if state_e is None:
+            _, state_e = enc.init(jax.random.PRNGKey(0))
+    return GNerfService(g, params_g, enc, params_e, state_e,
+                        max_identities=max_identities)
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer (stdlib only)
+
+
+def make_handler(service: GNerfService):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _bytes(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True,
+                                 "identities": service.num_identities})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/encode":
+                    if "seed" in req:
+                        ident = service.encode_seed(int(req["seed"]))
+                    else:
+                        from PIL import Image
+
+                        raw = base64.b64decode(req["image"])
+                        img = np.asarray(
+                            Image.open(io.BytesIO(raw)).convert("RGB")
+                        ).transpose(2, 0, 1)
+                        ident = service.encode_image(img)
+                    self._json(200, {"identity": ident})
+                elif self.path == "/render":
+                    frame = service.render_frame(
+                        req["identity"],
+                        yaw=float(req.get("yaw", np.pi / 2)),
+                        pitch=float(req.get("pitch", np.pi / 2)),
+                        radius=float(req.get("radius", 2.7)),
+                        fov=req.get("fov"),
+                    )
+                    from PIL import Image
+
+                    buf = io.BytesIO()
+                    Image.fromarray(frame).save(buf, format="PNG")
+                    self._bytes(200, buf.getvalue(), "image/png")
+                elif self.path == "/orbit":
+                    from .video_io import MJPEGWriter
+
+                    frames = service.render_orbit(
+                        req["identity"], frames=int(req.get("frames", 30)))
+                    import tempfile
+
+                    with tempfile.NamedTemporaryFile(suffix=".avi") as f:
+                        w = MJPEGWriter(f.name, fps=30)
+                        for fr in frames:
+                            w.append_data(fr)
+                        w.close()
+                        f.seek(0)
+                        self._bytes(200, open(f.name, "rb").read(),
+                                    "video/avi")
+                else:
+                    self._json(404, {"error": "not found"})
+            except KeyError as err:
+                self._json(404, {"error": f"unknown identity {err}"})
+            except Exception as err:  # noqa: BLE001 — serving boundary
+                self._json(500, {"error": str(err)})
+
+    return Handler
+
+
+def serve(service: GNerfService, port: int = 8000, host: str = "127.0.0.1"):
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    print(f"gnerf_tpu serving on http://{host}:{port} "
+          f"(identities cached: {service.num_identities})")
+    httpd.serve_forever()
+
+
+def main():
+    import click
+
+    @click.command()
+    @click.option("--network", required=True)
+    @click.option("--port", type=int, default=8000)
+    @click.option("--host", default="127.0.0.1")
+    @click.option("--max-identities", type=int, default=16)
+    def _main(network, port, host, max_identities):
+        serve(load_service(network, max_identities=max_identities),
+              port=port, host=host)
+
+    _main()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Serving runtime: identity cache + HTTP API, driven end-to-end with a
+tiny model over a real (loopback) socket."""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gnerf_tpu.infer.server import GNerfService, load_service, make_handler
+from gnerf_tpu.models import ResNeXt50Encoder, TriPlaneGenerator
+
+
+@pytest.fixture(scope="module")
+def tiny_service():
+    g = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=16,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    params_g = g.init(jax.random.PRNGKey(0))
+    enc = ResNeXt50Encoder(out_dim=16)
+    params_e, state_e = enc.init(jax.random.PRNGKey(1))
+    return GNerfService(g, params_g, enc, params_e, state_e,
+                        max_identities=2, dtype=jnp.float32)
+
+
+def test_service_encode_render_and_lru(tiny_service):
+    s = tiny_service
+    a = s.encode_seed(0)
+    frame = s.render_frame(a, yaw=np.pi / 2 + 0.3)
+    assert frame.shape == (32, 32, 3) and frame.dtype == np.uint8
+
+    img = np.random.RandomState(0).randint(0, 255, (3, 32, 32), np.uint8)
+    b = s.encode_image(img)
+    assert s.num_identities == 2
+    # Same pose, different identities -> different frames.
+    fa = s.render_frame(a)
+    fb = s.render_frame(b)
+    assert not np.array_equal(fa, fb)
+
+    # LRU: a third identity evicts the least-recently-used one.
+    s.render_frame(a)  # touch a
+    c = s.encode_seed(7)
+    assert s.num_identities == 2
+    s.render_frame(a)
+    s.render_frame(c)
+    with pytest.raises(KeyError):
+        s.render_frame(b)
+
+    orbit = s.render_orbit(a, frames=3)
+    assert len(orbit) == 3
+
+
+def test_http_api_end_to_end(tiny_service):
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(tiny_service))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            return urllib.request.urlopen(req, timeout=120)
+
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] is True
+
+        with post("/encode", {"seed": 3}) as r:
+            ident = json.loads(r.read())["identity"]
+
+        # base64-image encode path.
+        from PIL import Image
+
+        arr = np.random.RandomState(1).randint(0, 255, (32, 32, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        with post("/encode",
+                  {"image": base64.b64encode(buf.getvalue()).decode()}) as r:
+            ident2 = json.loads(r.read())["identity"]
+        assert ident2 != ident
+
+        with post("/render", {"identity": ident, "yaw": 1.8}) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            png = r.read()
+        img = Image.open(io.BytesIO(png))
+        assert img.size == (32, 32)
+
+        with post("/orbit", {"identity": ident, "frames": 2}) as r:
+            avi = r.read()
+        assert avi[:4] == b"RIFF" and b"MJPG" in avi
+
+        # Unknown identity -> 404.
+        try:
+            post("/render", {"identity": "nope"})
+            raised = False
+        except urllib.error.HTTPError as err:
+            raised = err.code == 404
+        assert raised
+    finally:
+        httpd.shutdown()
+
+
+def test_load_service_from_checkpoint(tmp_path):
+    from gnerf_tpu.utils import checkpoint as ckpt
+
+    g = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=16,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    params_g = g.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "net.npz")
+    config = {"generator": {
+        "z_dim": 16, "w_dim": 16, "img_resolution": 128,
+        "plane_resolution": 16, "channel_base": 256, "channel_max": 32,
+        "mapping_layers": 2, "neural_rendering_resolution": 16,
+        "rendering_kwargs": {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in g.rendering_kwargs.items()
+        },
+    }}
+    ckpt.save_checkpoint(path, {"G_ema": params_g}, config=config)
+    svc = load_service(path)
+    ident = svc.encode_seed(0)
+    frame = svc.render_frame(ident)
+    assert frame.shape == (32, 32, 3)

@@ -21,6 +21,12 @@ program serves all poses; the identity cache holds device-resident
 PackedPlanes (bf16, ~25 MB each) with LRU eviction; rendering batches of
 frames reuse the same chunked program as bench.py/gen_videos.
 
+Measured at flagship scale (512^2, v5e through the dev relay): warm
+identity onboarding 0.05 s, single-frame latency ~104 ms (~30 ms of which
+is relay dispatch; device time ~15 ms), orbit throughput limited by the
+relay's host link (11.8 MB of pixels per 15-frame chunk) — a co-located
+deployment serves at the bench.py rate (72 f/s).
+
 Start:  python -m gnerf_tpu.infer.server --network g.npz --port 8000
 Library use: `GNerfService` (no HTTP) for embedding into other servers.
 """
@@ -70,8 +76,22 @@ class GNerfService:
             img = jnp.clip((out["image"] + 1) * 127.5, 0, 255)
             return img.astype(jnp.uint8)
 
+        # Throughput path for orbits: FRAMES_PER_CHUNK frames per program
+        # with the packed planes broadcast over the frame batch (same
+        # batching as bench.py — ~5x the per-frame path on a v5e).
+        self.frames_per_chunk = 15
+
+        @jax.jit
+        def _render_chunk(params, planes, ws, cs):
+            wsb = jnp.broadcast_to(ws, (self.frames_per_chunk,) + ws.shape[1:])
+            out = g.render_planes(params, planes, cs, wsb, noise_mode="const",
+                                  dtype=dtype)
+            img = jnp.clip((out["image"] + 1) * 127.5, 0, 255)
+            return img.astype(jnp.uint8)
+
         self._prepare = _prepare
         self._render = _render
+        self._render_chunk = _render_chunk
 
     # -- identities ---------------------------------------------------------
 
@@ -130,12 +150,30 @@ class GNerfService:
 
     def render_orbit(self, identity: str, frames: int = 30,
                      radius: float = 2.7) -> list[np.ndarray]:
-        out = []
-        for i in range(frames):
-            yaw = np.pi / 2 + 0.7 * np.sin(2 * np.pi * i / frames)
-            pitch = np.pi / 2 - 0.05 + 0.3 * np.cos(2 * np.pi * i / frames)
-            out.append(self.render_frame(identity, yaw, pitch, radius))
-        return out
+        """Batched orbit: frames rendered in FRAMES_PER_CHUNK-sized jitted
+        chunks (padding the tail pose-wise so the program shape is static)."""
+        from ..utils import camera
+
+        ws, planes = self._get(identity)
+        cs = [
+            camera.pose_to_label(
+                camera.lookat_sample(
+                    np.pi / 2 + 0.7 * np.sin(2 * np.pi * i / frames),
+                    np.pi / 2 - 0.05 + 0.3 * np.cos(2 * np.pi * i / frames),
+                    radius=radius),
+                camera.FFHQ_INTRINSICS)
+            for i in range(frames)
+        ]
+        fpc = self.frames_per_chunk
+        pad = -len(cs) % fpc
+        cs = cs + cs[-1:] * pad
+        labels = jnp.concatenate(cs, axis=0)
+        out: list[np.ndarray] = []
+        for start in range(0, labels.shape[0], fpc):
+            imgs = np.asarray(self._render_chunk(
+                self.params_g, planes, ws, labels[start:start + fpc]))
+            out.extend(img.transpose(1, 2, 0) for img in imgs)
+        return out[:frames]
 
     @property
     def num_identities(self) -> int:

@@ -12,8 +12,7 @@ and serve frames over a minimal stdlib HTTP API:
                     "radius": 2.7, "fov": null}
                    -> image/png frame (512^2)
     POST /orbit    {"identity": "...", "frames": int}
-                   -> multipart-free concatenated PNGs? No — returns an
-                      MJPEG AVI (video_io.MJPEGWriter) as video/avi.
+                   -> video/avi (MJPEG, video_io.MJPEGWriter)
     GET  /healthz  -> {"ok": true, "identities": N}
 
 Design notes (TPU-first): every request shape is static — one compiled

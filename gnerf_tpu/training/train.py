@@ -249,6 +249,7 @@ def run_training(
     decoder_lr_mul: float = 1.0,
     objective: str = "gnerf",
     lpips_weights: str = "",
+    dtype: str = "fp32",
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -302,6 +303,11 @@ def run_training(
         total_kimg=kimg, kimg_per_tick=tick, batch_size=batch, glr=glr,
         dlr=dlr, r1_gamma=gamma, gan_depth=gan_depth, train_en=train_en,
         train_gen=train_gen, snapshot_ticks=snap, random_seed=seed,
+        # bf16 runs the backbone/SR/LPIPS forward in bfloat16 (compositing
+        # and both optimizers stay fp32) — the stability of the depth-GAN +
+        # R1 dynamics in bf16 is covered by
+        # tests/test_train_resume.py::test_multi_tick_convergence_bf16...
+        dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
     )
     disc = (
         Discriminator(c_dim=25, img_resolution=cfg.neural_rendering_resolution,
@@ -316,7 +322,7 @@ def run_training(
     options = {
         "dataset_name": dataset_name,
         "config": dataclasses.asdict(
-            dataclasses.replace(cfg, dtype=str(np.dtype(np.float32)))
+            dataclasses.replace(cfg, dtype=str(np.dtype(cfg.dtype)))
         ),
         # Self-describing checkpoints: enough to reconstruct G at load time.
         "generator": {
@@ -570,6 +576,8 @@ def run_training(
 @click.option("--sr_noise_mode", type=str, default="none")
 @click.option("--density_reg", type=float, default=0.25)
 @click.option("--decoder_lr_mul", type=float, default=1.0)
+@click.option("--dtype", type=click.Choice(["fp32", "bf16"]), default="fp32",
+              help="forward-pass precision (optimizers/compositing stay fp32)")
 @click.option("--lpips-weights", "lpips_weights", type=str, default="",
               help="converted vgg16.pt npz (tools/convert_vgg16_lpips.py); "
                    "empty = RANDOM VGG features (loudly flagged)")

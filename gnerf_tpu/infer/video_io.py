@@ -22,7 +22,7 @@ class MJPEGWriter:
     'MJPG' fourcc, idx1 index). Frames are buffered as JPEG blobs and the
     container is emitted on close() so all chunk sizes are exact."""
 
-    def __init__(self, path: str, fps: int = 30, quality: int = 92):
+    def __init__(self, path: str = None, fps: int = 30, quality: int = 92):
         self.path = path
         self.fps = int(fps)
         self.quality = quality
@@ -45,9 +45,12 @@ class MJPEGWriter:
         Image.fromarray(arr).save(buf, format="JPEG", quality=self.quality)
         self._frames.append(buf.getvalue())
 
-    def close(self) -> None:
+    def to_bytes(self) -> bytes:
+        """Assemble the RIFF/AVI container in memory (the frames are already
+        buffered as JPEG blobs, so no file round-trip is needed — used by the
+        serving path to stream the video straight into the HTTP response)."""
         if self._size is None:
-            return
+            return b""
         w, h = self._size
         n = len(self._frames)
 
@@ -95,8 +98,13 @@ class MJPEGWriter:
         idx1 = chunk(b"idx1", index)
 
         riff_payload = b"AVI " + hdrl + movi + idx1
-        with open(self.path, "wb") as fh:
-            fh.write(b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload)
+        return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+    def close(self) -> None:
+        blob = self.to_bytes()
+        if blob and self.path is not None:
+            with open(self.path, "wb") as fh:
+                fh.write(blob)
         self._frames = []
 
 

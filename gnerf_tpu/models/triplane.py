@@ -274,6 +274,7 @@ class TriPlaneGenerator:
         only_depth: bool = False,
         dtype=jnp.float32,
         rendering_kwargs: Optional[Mapping[str, Any]] = None,
+        superres: bool = True,
     ) -> Mapping[str, jax.Array]:
         """Volume-render cached planes under camera `c`, then superresolve."""
         opts = dict(self.rendering_kwargs)
@@ -315,6 +316,11 @@ class TriPlaneGenerator:
                 "image_raw": depth_image,
                 "image_depth": depth_image,
             }
+        if not superres:
+            # Stage boundary for profiling / feature-level consumers: the
+            # raw 32ch feature image + depth, no SR.
+            return {"feature_image": feature_image,
+                    "image_depth": depth_image}
         rgb_image = feature_image[:, :3]
         sr_noise = opts.get("superresolution_noise_mode", "none")
         sr_noise = "none" if sr_noise not in ("random", "const") else sr_noise

@@ -23,7 +23,6 @@ the reference's deterministic debugging mode.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Sequence
 
 import jax
@@ -216,7 +215,9 @@ class AugmentPipe:
                 from scipy.special import erfinv
                 s = jnp.full_like(s, 2 ** (erfinv(dp * 2 - 1) * self.scale_std))
             G_inv = G_inv @ _scale2d(1 / s, 1 / s)
-        p_rot = 1 - math.sqrt(max(1 - self.rotate * p, 0.0))
+        # jnp (not math/max): p may be a TRACED scalar — the ADA controller
+        # varies it step-to-step without recompiling.
+        p_rot = 1 - jnp.sqrt(jnp.maximum(1 - self.rotate * p, 0.0))
         if self.rotate > 0:
             theta = (jax.random.uniform(next(keys), (N,)) * 2 - 1) * np.pi * self.rotate_max
             u = jax.random.uniform(next(keys), (N,))

@@ -15,7 +15,8 @@ works unchanged):
     crops: `cropped_image/*.jpg` + `label/labels.json`. 50/50 mix per item;
     real items randomly get an angle-swap with factor=0 masking the recon
     loss (reference `dataset.py:1072-1083`).
-  TestDataset     — held-out real crops (the last `held_out` files).
+  TestDataset     — held-out real crops (deterministic hash partition, or
+    an explicit manifest; see `held_out_partition`).
   SyntheticDataset — procedurally generated batches with valid orbit poses,
     for smoke tests and benchmarks (no files needed).
 
@@ -28,15 +29,48 @@ DataLoader/InfiniteSampler pairing of the reference
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import queue
 import threading
-from typing import Any, Iterator, Mapping, Optional
+from typing import Any, Iterator, Mapping, Optional, Sequence
 
 import numpy as np
 
 from ..utils.misc import InfiniteSampler
+
+
+def held_out_partition(
+    fnames: Sequence[str], held_out: int, manifest: Optional[str] = None,
+) -> tuple[list[str], list[str]]:
+    """Deterministic (train, held_out) partition of the real-crop file list.
+
+    The reference pins its eval set by slicing a sorted listing — train takes
+    `[:-8000]`, test takes `[-8000:]`
+    (`/root/reference/g_nerf/training/dataset.py:954-957,1114-1177`) — which
+    silently shifts whenever files are added or the listing changes. Here the
+    side a file lands on is a pure function of its BASENAME: files are ranked
+    by md5(basename) and the first `held_out` ranks are held out, so the
+    partition is stable across re-listings and machines, and train/test are
+    disjoint by construction. An explicit `manifest` (text file, one basename
+    per line) overrides the hash rule for exact reference-comparable splits.
+    """
+    if manifest:
+        with open(manifest) as fh:
+            held_names = {ln.strip() for ln in fh if ln.strip()}
+        train = [f for f in sorted(fnames)
+                 if os.path.basename(f) not in held_names]
+        held = [f for f in sorted(fnames) if os.path.basename(f) in held_names]
+        return train, held
+    ranked = sorted(
+        fnames,
+        key=lambda f: (hashlib.md5(os.path.basename(f).encode()).hexdigest(), f),
+    )
+    held_set = set(ranked[:held_out])
+    train = [f for f in sorted(fnames) if f not in held_set]
+    held = [f for f in sorted(fnames) if f in held_set]
+    return train, held
 
 BatchDict = Mapping[str, np.ndarray]
 
@@ -183,6 +217,7 @@ class FFHQGenDataset:
         max_size: Optional[int] = 60000,
         max_gen: int = 6000,
         held_out: int = 8000,
+        held_out_manifest: Optional[str] = None,
         seed: int = 0,
     ):
         self.resolution = resolution
@@ -200,9 +235,10 @@ class FFHQGenDataset:
         self._real_fnames = []
         self._real_labels = {}
         if real_path is not None and os.path.isdir(real_path):
-            self._real_fnames = sorted(
-                glob.glob(os.path.join(real_path, "cropped_image", "*.jpg"))
-            )[:-held_out]
+            self._real_fnames, _ = held_out_partition(
+                glob.glob(os.path.join(real_path, "cropped_image", "*.jpg")),
+                held_out, held_out_manifest,
+            )
             with open(os.path.join(real_path, "label", "labels.json")) as f:
                 self._real_labels = json.load(f)
         if max_size is not None:
@@ -368,11 +404,13 @@ class TestDataset:
     `dataset.py:1114-1177`)."""
 
     def __init__(self, real_path: str, resolution: int = 512, held_out: int = 8000,
+                 held_out_manifest: Optional[str] = None,
                  max_size: Optional[int] = None):
         self.resolution = resolution
-        self._fnames = sorted(
-            glob.glob(os.path.join(real_path, "cropped_image", "*.jpg"))
-        )[-held_out:]
+        _, self._fnames = held_out_partition(
+            glob.glob(os.path.join(real_path, "cropped_image", "*.jpg")),
+            held_out, held_out_manifest,
+        )
         if max_size:
             self._fnames = self._fnames[:max_size]
         with open(os.path.join(real_path, "label", "labels.json")) as f:

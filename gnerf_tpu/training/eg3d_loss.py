@@ -49,6 +49,42 @@ class EG3DLossConfig:
     filter_mode: Any = "antialiased"
     glr: float = 0.0025
     dlr: float = 0.002
+    # ADA (StyleGAN2-ADA "Training GANs with Limited Data"): 'noaug' matches
+    # the reference's dormant default (`train.py:154`); 'ada' enables the
+    # bgc pipeline with the r_t-feedback p controller (host-side, like the
+    # blur schedule); 'fixed' uses a constant p = aug_p.
+    aug: str = "noaug"
+    aug_p: float = 0.0
+    ada_target: float = 0.6
+    ada_interval: int = 4
+    ada_kimg: float = 500.0
+
+
+# The 'bgc' augmentation preset (blit + geometric + color) — the standard
+# StyleGAN2-ADA recipe EG3D-class face GANs train with.
+BGC_SPEC = dict(xflip=1.0, rotate90=1.0, xint=1.0, scale=1.0, rotate=1.0,
+                aniso=1.0, xfrac=1.0, brightness=1.0, contrast=1.0,
+                lumaflip=1.0, hue=1.0, saturation=1.0)
+
+
+def make_augment_pipe(cfg: EG3DLossConfig):
+    """AugmentPipe for the configured mode, or None for 'noaug'."""
+    if cfg.aug == "noaug":
+        return None
+    from .augment import AugmentPipe
+
+    return AugmentPipe(**BGC_SPEC)
+
+
+def ada_update_p(p: float, rt: float, batch_size: int,
+                 cfg: EG3DLossConfig) -> float:
+    """One r_t-feedback controller step (upstream ADA heuristic): nudge p
+    toward keeping E[sign(D(real))] at ada_target, with a full 0->1 sweep
+    taking ada_kimg kimg. Host-side pure python — called every ada_interval
+    batches with the interval's mean of the 'Loss/signs/real' stat."""
+    adjust = np.sign(rt - cfg.ada_target) * (
+        batch_size * cfg.ada_interval / (cfg.ada_kimg * 1000.0))
+    return float(np.clip(p + adjust, 0.0, 1.0))
 
 
 def blur_sigma_schedule(cur_nimg: float, cfg: EG3DLossConfig) -> float:
@@ -132,6 +168,7 @@ def make_eg3d_train_step(
     if opt_d is None:
         opt_d = optax.adam(cfg.dlr, b1=0.0, b2=0.99, eps=1e-8)
     res = cfg.neural_rendering_resolution
+    pipe = make_augment_pipe(cfg)
 
     def run_g(params_g, z, c, rng, cur_nimg):
         k_swap, k_noise = jax.random.split(rng)
@@ -144,16 +181,33 @@ def make_eg3d_train_step(
                           noise_mode="random", rng=k_noise)
         return out, ws
 
-    def run_d(params_d, img, c, blur_sigma=0.0, blur_size: int = 0):
+    def run_d(params_d, img, c, rng, aug_p, blur_sigma=0.0, blur_size: int = 0):
         img = dict(img)
         if blur_size > 0:
             img["image"] = blur_image(img["image"], blur_sigma, blur_size)
+        if pipe is not None:
+            # Dual-pair augmentation (upstream EG3D run_D): upsample the raw
+            # image to full res, augment BOTH with the SAME per-sample
+            # transform as one 6-channel batch, then downsample the raw half
+            # back — so the discriminator never sees a consistency-breaking
+            # mismatch between the two views. aug_p is a traced scalar: the
+            # controller varies it without recompiling.
+            full = img["image"].shape[-1]
+            raw_up = interpolate_bilinear(img["image_raw"], full, full,
+                                          antialias=True)
+            pair = pipe(rng, jnp.concatenate([img["image"], raw_up], axis=1),
+                        p=aug_p)
+            img["image"] = pair[:, :3]
+            img["image_raw"] = interpolate_bilinear(pair[:, 3:], res, res,
+                                                    antialias=True)
         return disc.apply(params_d, img, c)
 
-    def g_loss_fn(params_g, params_d, z, c, rng, cur_nimg, blur_sigma, blur_size):
-        k_g, k_reg = jax.random.split(rng)
+    def g_loss_fn(params_g, params_d, z, c, rng, cur_nimg, blur_sigma, blur_size,
+                  aug_p):
+        k_g, k_reg, k_aug = jax.random.split(rng, 3)
         gen_img, ws = run_g(params_g, z, c, k_g, cur_nimg)
-        gen_logits = run_d(params_d, gen_img, c, blur_sigma, blur_size)
+        gen_logits = run_d(params_d, gen_img, c, k_aug, aug_p,
+                           blur_sigma, blur_size)
         loss_gmain = jax.nn.softplus(-gen_logits).mean()
         loss = loss_gmain
         stats = {"Loss/G/gan_loss": loss_gmain,
@@ -165,23 +219,28 @@ def make_eg3d_train_step(
         return loss, (stats, jax.lax.stop_gradient(ws[:, 0]))
 
     def d_loss_fn(params_d, params_g, z, c, real_img_full, real_c, rng, cur_nimg,
-                  blur_sigma, blur_size):
-        gen_img, _ = run_g(jax.lax.stop_gradient(params_g), z, c, rng, cur_nimg)
+                  blur_sigma, blur_size, aug_p):
+        k_gen, k_aug_f, k_aug_r, k_aug_r1 = jax.random.split(rng, 4)
+        gen_img, _ = run_g(jax.lax.stop_gradient(params_g), z, c, k_gen, cur_nimg)
         gen_img = jax.tree_util.tree_map(jax.lax.stop_gradient, dict(gen_img))
-        gen_logits = run_d(params_d, gen_img, c, blur_sigma, blur_size)
+        gen_logits = run_d(params_d, gen_img, c, k_aug_f, aug_p,
+                           blur_sigma, blur_size)
         loss_dgen = jax.nn.softplus(gen_logits).mean()
 
         real_raw = interpolate_bilinear(real_img_full, res, res, antialias=True)
         real = {"image": real_img_full, "image_raw": real_raw}
-        real_logits = run_d(params_d, real, real_c, blur_sigma, blur_size)
+        real_logits = run_d(params_d, real, real_c, k_aug_r, aug_p,
+                            blur_sigma, blur_size)
         loss_dreal = jax.nn.softplus(-real_logits).mean()
 
         # R1 through BOTH inputs for dual discrimination (`loss.py:195-200`);
-        # the gradient is taken w.r.t. the PRE-blur input, flowing through
-        # the blur, matching the reference's run_D-internal blur.
+        # the gradient is taken w.r.t. the PRE-blur/PRE-augment input,
+        # flowing through both, matching the reference's run_D-internal blur
+        # (and upstream ADA, where R1 differentiates through the pipe). A
+        # fresh augment key mirrors torch's independent draw per run_D call.
         def d_sum(image, image_raw):
             return run_d(params_d, {"image": image, "image_raw": image_raw},
-                         real_c, blur_sigma, blur_size).sum()
+                         real_c, k_aug_r1, aug_p, blur_sigma, blur_size).sum()
 
         g_img, g_raw = jax.grad(d_sum, argnums=(0, 1))(real["image"], real["image_raw"])
         r1 = (jnp.sum(jnp.square(g_img), axis=(1, 2, 3))
@@ -192,21 +251,25 @@ def make_eg3d_train_step(
             "Loss/D/loss": loss_dgen + loss_dreal,
             "Loss/D/reg": loss_dr1,
             "Loss/scores/real": real_logits.mean(),
+            # The ADA controller's feedback signal r_t = E[sign(D(real))].
+            "Loss/signs/real": jnp.sign(real_logits).mean(),
         }
         return loss_dgen + loss_dreal + loss_dr1, stats
 
     def train_step(state: dict, batch: Mapping[str, jax.Array], rng: jax.Array,
-                   blur_sigma=0.0, *, blur_size: int = 0):
+                   blur_sigma=0.0, aug_p=0.0, *, blur_size: int = 0):
         """batch: {'z': [N,z], 'c': [N,25], 'real_image': [N,3,R,R],
         'real_c': [N,25]}. `blur_sigma` is the traced fade value from
         `blur_sigma_schedule`; `blur_size` the matching STATIC kernel extent
-        from `blur_kernel_size` (jit with static_argnames=('blur_size',))."""
+        from `blur_kernel_size` (jit with static_argnames=('blur_size',));
+        `aug_p` the traced ADA strength from the host-side controller
+        (`ada_update_p`) — ignored under aug='noaug'."""
         k_g, k_d = jax.random.split(rng)
         (g_l, (g_stats, w_batch)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
         )(
             state["params_g"], state["params_d"], batch["z"], batch["c"], k_g,
-            state["cur_nimg"], blur_sigma, blur_size,
+            state["cur_nimg"], blur_sigma, blur_size, aug_p,
         )
         g_upd, opt_state_g = opt_g.update(g_grads, state["opt_state_g"],
                                           state["params_g"])
@@ -224,7 +287,7 @@ def make_eg3d_train_step(
         (d_l, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state["params_d"], params_g, batch["z"], batch["c"],
             batch["real_image"], batch["real_c"], k_d, state["cur_nimg"],
-            blur_sigma, blur_size,
+            blur_sigma, blur_size, aug_p,
         )
         d_upd, opt_state_d = opt_d.update(d_grads, state["opt_state_d"],
                                           state["params_d"])

@@ -98,7 +98,8 @@ def make_validator(g, enc, cfg):
 
 def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        data, real_data, batch, gamma, kimg, tick, seed,
-                       run_dir, options):
+                       run_dir, options, aug="noaug", aug_p=0.0,
+                       ada_target=0.6):
     """EG3D adversarial pretraining (z, c) -> image — the stage that
     produces the generator G-NeRF fine-tunes (reference loss.py spec,
     implemented live in eg3d_loss.py)."""
@@ -122,6 +123,9 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         blur_init_sigma=rendering_kwargs.get("blur_init_sigma", 0.0),
         blur_fade_kimg=rendering_kwargs.get("blur_fade_kimg",
                                             batch * 200 / 32),
+        aug=aug,
+        aug_p=aug_p,
+        ada_target=ada_target,
     )
     step_fn, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
     state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(seed))
@@ -135,61 +139,103 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
     else:
         dataset = FFHQGenDataset(path=data, real_path=real_data or None,
                                  resolution=img_resolution)
-    batches = data_iterator(dataset, batch_size=batch, seed=seed)
+
+    from ..parallel import process_info
+
+    rank, world = process_info()
+    # Per-host shard of the global batch (reference batch_gpu = batch//gpus,
+    # train.py:273); the sampler walks every world-th index per host.
+    assert batch % world == 0, f"batch {batch} not divisible by {world} hosts"
+    local_batch = batch // world
+    batches = data_iterator(dataset, batch_size=local_batch, rank=rank,
+                            num_replicas=world, seed=seed)
 
     mesh = make_mesh()
     repl = NamedSharding(mesh, P())
-    dsh1 = NamedSharding(mesh, P("data"))
     dsh2 = NamedSharding(mesh, P("data", None))
     dsh4 = NamedSharding(mesh, P("data", None, None, None))
     batch_sh = {"z": dsh2, "c": dsh2, "real_image": dsh4, "real_c": dsh2}
     state = jax.device_put(state, repl)
+
+    def put_batch(v, sh):
+        # Single-host: plain device_put. Multi-host: each host's iterator
+        # yields its batch//world shard; assemble the global array from the
+        # process-local pieces (mirrors the gnerf objective's path — plain
+        # device_put of host-local data to shardings spanning non-addressable
+        # devices is not portable across JAX versions).
+        if world == 1:
+            return jax.device_put(jnp.asarray(v), sh)
+        return jax.make_array_from_process_local_data(sh, np.asarray(v))
     # One compiled program per blur-kernel extent: the D warm-up blur fades
     # over blur_fade_kimg, so the static FIR size steps through a small,
     # bounded set of buckets (eg3d_loss.blur_kernel_size). sigma itself is
     # traced, so within a bucket no recompile happens.
-    from .eg3d_loss import blur_kernel_size, blur_sigma_schedule
+    from .eg3d_loss import ada_update_p, blur_kernel_size, blur_sigma_schedule
 
     _steps: dict = {}
 
-    def step(state, gan_batch, rng, cur_nimg):
+    def step(state, gan_batch, rng, cur_nimg, aug_p):
         sigma = blur_sigma_schedule(cur_nimg, cfg)
         size = blur_kernel_size(sigma)
         if size not in _steps:
+            # blur_size is baked per bucket via partial: pjit rejects kwargs
+            # (even static ones) when in_shardings is specified.
+            import functools
+
             _steps[size] = jax.jit(
-                step_fn, in_shardings=(repl, batch_sh, repl, repl),
+                functools.partial(step_fn, blur_size=size),
+                in_shardings=(repl, batch_sh, repl, repl, repl),
                 out_shardings=(repl, repl), donate_argnums=(0,),
-                static_argnames=("blur_size",),
             )
         return _steps[size](state, gan_batch, rng,
                             jax.device_put(jnp.float32(max(sigma, 1e-8)), repl),
-                            blur_size=size)
+                            jax.device_put(jnp.float32(aug_p), repl))
 
-    from ..parallel import process_info
-
-    rank, _world = process_info()
     collector = Collector()
     cur_nimg, tick_idx, tick_start = 0, 0, time.time()
-    rng = jax.random.PRNGKey(seed + 1)
+    # Per-step keys are a pure function of cur_nimg (not a running split
+    # stream), so any future resume-from-nimg continues the key sequence
+    # rather than replaying it from 0.
+    base_rng = jax.random.PRNGKey(seed + 1)
+    # ADA adaptive-p controller state (host-side, like the blur schedule):
+    # r_t = mean sign(D(real)) over the interval feeds ada_update_p.
+    cur_aug_p = float(aug_p)
+    rt_window: list = []
+    step_idx = 0
     if rank == 0:
-        print(f"EG3D pretraining for {kimg} kimg in {run_dir} ...")
+        print(f"EG3D pretraining for {kimg} kimg in {run_dir} "
+              f"(aug={aug}, p0={cur_aug_p}) ...")
     while cur_nimg < kimg * 1000:
-        rng, kz, ks = jax.random.split(rng, 3)
+        kz, ks = jax.random.split(jax.random.fold_in(base_rng, cur_nimg))
         raw = next(batches)
+        # Each host draws only its local_batch z rows (key folded with rank
+        # so hosts don't duplicate latents); the global arrays are assembled
+        # from the per-process shards.
+        z_local = jax.random.normal(jax.random.fold_in(kz, rank),
+                                    (local_batch, g.z_dim))
+        c_local = np.asarray(raw["loss_c"], np.float32)
         gan_batch = {
-            "z": jax.device_put(jax.random.normal(kz, (batch, g.z_dim)), dsh2),
-            "c": jax.device_put(jnp.asarray(raw["loss_c"], jnp.float32), dsh2),
-            "real_image": jax.device_put(
-                jnp.asarray(raw["loss_image"], jnp.float32) / 127.5 - 1.0, dsh4
+            "z": put_batch(z_local, dsh2),
+            "c": put_batch(c_local, dsh2),
+            "real_image": put_batch(
+                np.asarray(raw["loss_image"], np.float32) / 127.5 - 1.0, dsh4
             ),
-            "real_c": jax.device_put(
-                jnp.asarray(raw["loss_c"], jnp.float32), dsh2
-            ),
+            "real_c": put_batch(c_local, dsh2),
         }
-        state, stats = step(state, gan_batch, jax.device_put(ks, repl), cur_nimg)
+        state, stats = step(state, gan_batch, jax.device_put(ks, repl),
+                            cur_nimg, cur_aug_p)
         cur_nimg += batch
+        step_idx += 1
         for name, value in stats.items():
             collector.report(name, value)
+        collector.report("Progress/augment", cur_aug_p)
+        if aug == "ada":
+            rt_window.append(stats["Loss/signs/real"])
+            if step_idx % cfg.ada_interval == 0:
+                rt = float(np.mean([np.asarray(jax.device_get(x))
+                                    for x in rt_window]))
+                cur_aug_p = ada_update_p(cur_aug_p, rt, batch, cfg)
+                rt_window.clear()
         if cur_nimg >= (tick_idx + 1) * tick * 1000 or cur_nimg >= kimg * 1000:
             tick_idx += 1
             fields = collector.update()
@@ -256,6 +302,9 @@ def run_training(
     objective: str = "gnerf",
     lpips_weights: str = "",
     dtype: str = "fp32",
+    aug: str = "noaug",
+    aug_p: float = 0.0,
+    ada_target: float = 0.6,
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -344,6 +393,7 @@ def run_training(
         },
         "num_devices": len(jax.devices()),
         "lpips_pretrained": lpips_pretrained,
+        "aug": {"mode": aug, "p0": aug_p, "ada_target": ada_target},
     }
     options["num_processes"] = world
     if rank == 0:
@@ -367,6 +417,7 @@ def run_training(
         return _run_eg3d_training(
             g, rendering_kwargs, img_resolution, dataset_name, data,
             real_data, batch, gamma, kimg, tick, seed, run_dir, options,
+            aug=aug, aug_p=aug_p, ada_target=ada_target,
         )
 
     # Dataset.
@@ -382,8 +433,6 @@ def run_training(
     # `batch_gpu = batch // num_gpus`, train.py:273); single-process keeps
     # the full batch — behavior unchanged.
     assert batch % world == 0, f"batch {batch} not divisible by {world} hosts"
-    batches = data_iterator(dataset, batch_size=batch // world, rank=rank,
-                            num_replicas=world, seed=seed)
 
     # Mesh + shardings: batch over 'data', params replicated.
     mesh = make_mesh()
@@ -392,12 +441,15 @@ def run_training(
     state = init_train_state(g, enc, disc, vgg, cfg, jax.random.PRNGKey(seed))
     if lpips_pretrained:
         state = state.replace(params_vgg=params_vgg_loaded)
+    resumed_best_ssim = None
     if resume:
         trees, _ = ckpt_lib.load_checkpoint(resume)
         if "train_state" in trees:
             # Full-state checkpoint (training-state-*.npz): bit-identical
             # continuation including both optimizer states and EMA.
-            state, _ = load_train_state(resume, state)
+            state, ckpt_cfg = load_train_state(resume, state)
+            if ckpt_cfg and "best_ssim" in ckpt_cfg:
+                resumed_best_ssim = float(ckpt_cfg["best_ssim"])
         elif "G_ema" in trees:
             state = state.replace(
                 params_g=ckpt_lib.copy_params(trees["G_ema"], state.params_g),
@@ -412,6 +464,14 @@ def run_training(
 
     opt_g, opt_d = make_optimizers(g, state.params_e, state.params_g, cfg)
     train_step = make_train_step(g, enc, disc, vgg, opt_g, opt_d, cfg)
+
+    # The sampler is seeded from the resume position so a resumed run walks
+    # a FRESH shuffle order instead of replaying the order from step 0
+    # (exact data-position restore is not attempted — matches the
+    # reference's params-only resume semantics, SURVEY.md 5.4).
+    resume_nimg = int(np.asarray(jax.device_get(state.cur_nimg)))
+    batches = data_iterator(dataset, batch_size=batch // world, rank=rank,
+                            num_replicas=world, seed=seed + resume_nimg)
 
     state = jax.device_put(state, repl)
     example = next(batches)
@@ -440,7 +500,9 @@ def run_training(
     if rank == 0:
         save_image_grid(np.asarray(val_batch["condition_image"], np.float32),
                         os.path.join(run_dir, "id_images.png"), drange=(0, 255))
-    best_ssim = -100.0
+    # Persisted with the full-state checkpoint so a resumed run does not
+    # overwrite network-snapshot-best.npz with a worse first tick.
+    best_ssim = resumed_best_ssim if resumed_best_ssim is not None else -100.0
 
     tb_writer = None
     if rank == 0:
@@ -473,11 +535,14 @@ def run_training(
     tick_idx = cur_nimg // max(tick * 1000, 1)
     tick_start = time.time()
     start = tick_start
-    rng = jax.random.PRNGKey(seed + 1)
+    # Per-step noise keys are a pure function of cur_nimg, so a preempted +
+    # resumed run CONTINUES the key stream where it left off instead of
+    # replaying the keys from step 0.
+    base_rng = jax.random.PRNGKey(seed + 1)
     pending = example
     print(f"Training for {kimg} kimg in {run_dir} ...")
     while cur_nimg < kimg * 1000 and not stop_requested["flag"]:
-        rng, key = jax.random.split(rng)
+        key = jax.random.fold_in(base_rng, cur_nimg)
         batch_dev = {k: put_batch(v, data_sh[k]) for k, v in pending.items()}
         state, stats = step(state, batch_dev, jax.device_put(key, repl))
         pending = next(batches)
@@ -509,10 +574,12 @@ def run_training(
                 tb_writer.add_scalar("Metrics/val_ssim", val_ssim,
                                      global_step=cur_nimg)
                 tb_writer.flush()
+            is_best = val_ssim > best_ssim
+            best_ssim = max(best_ssim, val_ssim)
             if rank == 0:
                 # Disk-full tolerance (reference `training_loop.py:562-564`).
                 try:
-                    if val_ssim > best_ssim:
+                    if is_best:
                         save_snapshot(
                             os.path.join(run_dir, "network-snapshot-best.npz"),
                             jax.device_get(state), config=options)
@@ -521,7 +588,7 @@ def run_training(
                         jax.device_get(state), config=options)
                     save_train_state(
                         os.path.join(run_dir, "training-state-latest.npz"),
-                        state, config=options)
+                        state, config={**options, "best_ssim": best_ssim})
                     save_image_grid(
                         np.asarray(val_images),
                         os.path.join(run_dir, f"fakes-{cur_nimg // 1000:06d}.png"))
@@ -533,7 +600,6 @@ def run_training(
                             jax.device_get(state), config=options)
                 except OSError as err:
                     print(f"WARNING: snapshot write failed: {err}")
-            best_ssim = max(best_ssim, val_ssim)
             tick_start = now
     for s, h in prev_handlers.items():
         signal.signal(s, h)
@@ -546,7 +612,7 @@ def run_training(
                           host_state, config=options)
             save_train_state(
                 os.path.join(run_dir, "training-state-latest.npz"),
-                state, config=options)
+                state, config={**options, "best_ssim": best_ssim})
         except OSError as err:
             print(f"WARNING: final snapshot failed: {err}")
         if stop_requested["flag"]:
@@ -591,6 +657,14 @@ def run_training(
               default="gnerf",
               help="gnerf = encoder-inversion training (the live reference "
                    "loop); eg3d = adversarial (z,c)->image pretraining")
+@click.option("--aug", type=click.Choice(["noaug", "ada", "fixed"]),
+              default="noaug",
+              help="EG3D-objective D augmentation: ada = bgc pipeline with "
+                   "the r_t-feedback p controller; fixed = constant p")
+@click.option("--aug_p", type=float, default=0.0,
+              help="initial (ada) / constant (fixed) augmentation p")
+@click.option("--ada_target", type=float, default=0.6,
+              help="ADA controller target for E[sign(D(real))]")
 def main(**kwargs):
     run_training(**kwargs)
 

@@ -381,13 +381,26 @@ def load_train_state(path: str, template: TrainState,
     else:
         trees, config = ckpt_lib.load_checkpoint(path)
     flat = trees["train_state"]
-    t_leaves, treedef = jax.tree_util.tree_flatten(template)
-    if len(flat) != len(t_leaves):
+    path_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    if len(flat) != len(path_leaves):
         raise ValueError(
             f"checkpoint has {len(flat)} leaves, template has "
-            f"{len(t_leaves)} — config mismatch")
-    leaves = [
-        jnp.asarray(flat[f"{i:05d}"]).astype(jnp.asarray(t_leaves[i]).dtype)
-        for i in range(len(t_leaves))
-    ]
+            f"{len(path_leaves)} — config mismatch")
+    leaves = []
+    for i, (path, t_leaf) in enumerate(path_leaves):
+        arr = jnp.asarray(flat[f"{i:05d}"])
+        t_leaf = jnp.asarray(t_leaf)
+        # Leaf-count equality alone would let a same-size/different-config
+        # checkpoint load silently; validate every leaf's shape here (and
+        # name the offending leaf) rather than at the first train step.
+        if arr.shape != t_leaf.shape:
+            raise ValueError(
+                f"checkpoint leaf {i} ({jax.tree_util.keystr(path)}) has "
+                f"shape {arr.shape}, template expects {t_leaf.shape} — "
+                f"config mismatch")
+        if arr.dtype != t_leaf.dtype:
+            print(f"WARNING: load_train_state casting "
+                  f"{jax.tree_util.keystr(path)} {arr.dtype} -> {t_leaf.dtype}")
+            arr = arr.astype(t_leaf.dtype)
+        leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, leaves), config

@@ -100,6 +100,47 @@ def test_test_dataset(tmp_path):
     assert item["loss_c"].shape == (25,)
 
 
+def test_held_out_partition_deterministic(tmp_path):
+    """The hash split is a function of the file SET (not listing order),
+    train/test are disjoint and exhaustive, and a manifest overrides it
+    (VERDICT r2 item 9: pin the held-out split)."""
+    from gnerf_tpu.training.dataset import held_out_partition
+
+    names = [f"/data/{i:05d}.jpg" for i in range(20)]
+    train, held = held_out_partition(names, held_out=6)
+    assert len(held) == 6 and len(train) == 14
+    assert set(train) | set(held) == set(names)
+    assert not set(train) & set(held)
+    # Shuffled listing order -> identical partition.
+    rng = np.random.RandomState(0)
+    shuffled = list(names)
+    rng.shuffle(shuffled)
+    train2, held2 = held_out_partition(shuffled, held_out=6)
+    assert train2 == train and held2 == held
+    # Manifest override wins.
+    manifest = tmp_path / "held.txt"
+    manifest.write_text("00003.jpg\n00017.jpg\n")
+    train3, held3 = held_out_partition(names, held_out=6, manifest=str(manifest))
+    assert held3 == ["/data/00003.jpg", "/data/00017.jpg"]
+    assert len(train3) == 18
+
+
+def test_train_and_test_datasets_disjoint(tmp_path):
+    """FFHQGenDataset's real branch and TestDataset see complementary halves
+    of the same hash partition — no eval leakage."""
+    real_root = str(tmp_path / "real")
+    _make_real_ffhq(real_root, n=6)
+    gen_root = str(tmp_path / "gen")
+    _make_gen_pairs(gen_root)
+    train_ds = FFHQGenDataset(path=gen_root, real_path=real_root, held_out=2)
+    test_ds = TestDataset(real_path=real_root, held_out=2)
+    train_files = set(train_ds._real_fnames)
+    test_files = set(test_ds._fnames)
+    assert len(test_files) == 2
+    assert not train_files & test_files
+    assert len(train_files) == 4
+
+
 def test_afhq_dataset(tmp_path):
     gen_root = str(tmp_path / "gen")
     real_root = str(tmp_path / "afhq")

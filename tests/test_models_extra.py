@@ -151,6 +151,67 @@ def test_eg3d_train_step_tiny():
     )
 
 
+def test_ada_controller_dynamics():
+    """r_t-feedback p controller (upstream ADA heuristic): p climbs while
+    D is too confident on reals (rt > target), decays when below, clips to
+    [0, 1], and sweeps 0->1 in ada_kimg kimg."""
+    from gnerf_tpu.training.eg3d_loss import EG3DLossConfig, ada_update_p
+
+    cfg = EG3DLossConfig(aug="ada", ada_target=0.6, ada_interval=4,
+                         ada_kimg=500.0)
+    batch = 32
+    step = batch * cfg.ada_interval / (cfg.ada_kimg * 1000)
+    p = 0.5
+    assert ada_update_p(p, rt=0.9, batch_size=batch, cfg=cfg) == pytest.approx(p + step)
+    assert ada_update_p(p, rt=0.1, batch_size=batch, cfg=cfg) == pytest.approx(p - step)
+    assert ada_update_p(0.0, rt=0.1, batch_size=batch, cfg=cfg) == 0.0
+    assert ada_update_p(1.0, rt=0.9, batch_size=batch, cfg=cfg) == 1.0
+    # Simulated overfitting run: rt pinned at 1 -> p rises monotonically.
+    p = 0.0
+    for _ in range(100):
+        p2 = ada_update_p(p, rt=1.0, batch_size=batch, cfg=cfg)
+        assert p2 >= p
+        p = p2
+    assert p == pytest.approx(100 * step)
+
+
+def test_eg3d_train_step_with_ada_tiny():
+    """EG3D step with the bgc AugmentPipe live in the D path: finite losses,
+    both nets move, and gradients flow THROUGH the augmented inputs (the
+    R1 term differentiates through the pipe)."""
+    from gnerf_tpu.training.eg3d_loss import (
+        EG3DLossConfig,
+        init_eg3d_state,
+        make_eg3d_train_step,
+    )
+
+    g = _tiny_g()
+    disc = DualDiscriminator(c_dim=25, img_resolution=16, img_channels=3,
+                             channel_base=256, channel_max=32, mbstd_group_size=1)
+    cfg = EG3DLossConfig(neural_rendering_resolution=8,
+                         density_reg=0.25, density_reg_points=16, r1_gamma=1.0,
+                         aug="fixed", aug_p=0.8)
+    step, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
+    state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
+
+    batch = {
+        "z": jax.random.normal(jax.random.PRNGKey(1), (2, 16)),
+        "c": jax.random.normal(jax.random.PRNGKey(2), (2, 25)),
+        "real_image": jax.random.normal(jax.random.PRNGKey(3), (2, 3, 16, 16)),
+        "real_c": jax.random.normal(jax.random.PRNGKey(4), (2, 25)),
+    }
+    new_state, stats = jax.jit(step)(state, batch, jax.random.PRNGKey(5),
+                                     0.0, 0.8)
+    for k in ("Loss/G/total", "Loss/D/total", "Loss/D/reg", "Loss/signs/real"):
+        assert np.isfinite(float(stats[k])), (k, stats[k])
+    assert -1.0 <= float(stats["Loss/signs/real"]) <= 1.0
+    for side in ("params_g", "params_d"):
+        assert not np.allclose(
+            np.asarray(jax.tree_util.tree_leaves(state[side])[0]),
+            np.asarray(jax.tree_util.tree_leaves(new_state[side])[0]),
+        )
+
+
 def test_eg3d_schedules_and_blur():
     from gnerf_tpu.training.eg3d_loss import (
         EG3DLossConfig,

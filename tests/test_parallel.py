@@ -147,6 +147,55 @@ def test_ray_sharded_render_matches_replicated():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_orbit_frames_sharded_matches_single_device():
+    """Frame-axis data parallelism for video generation (VERDICT r2 item 5):
+    the orbit chunk sharded P('data') over 8 devices with planes/ws/params
+    replicated must produce the single-device frames exactly — the flagship
+    workload (`/root/reference/g_nerf/gen_videos.py:154-183`) on the mesh."""
+    from gnerf_tpu.models import TriPlaneGenerator
+    from gnerf_tpu.infer.gen_videos import orbit_label
+
+    g = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=8,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    params = g.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 16))
+    c0 = jnp.zeros((1, 25))
+    ws = g.mapping(params, z, c0)
+    planes = g.backbone_planes(params, ws, noise_mode="const", pack=True)
+    labels = jnp.concatenate(
+        [orbit_label(i, 8, "ffhq", g.rendering_kwargs) for i in range(8)],
+        axis=0,
+    )
+
+    def one(c):
+        out = g.render_planes(params, planes, c[None], ws,
+                              neural_rendering_resolution=8,
+                              noise_mode="const")
+        return out["image"], out["image_raw"]
+
+    want_img, want_raw = jax.jit(lambda cs: jax.lax.map(one, cs))(labels)
+
+    mesh = make_mesh(data=8, devices=jax.devices()[:8])
+    repl = NamedSharding(mesh, P())
+    fsh = NamedSharding(mesh, P("data", None))
+    osh = NamedSharding(mesh, P("data", None, None, None, None))
+    f = jax.jit(lambda cs: jax.vmap(one)(cs),
+                in_shardings=(fsh,), out_shardings=(osh, osh))
+    got_img, got_raw = f(jax.device_put(labels, fsh))
+    np.testing.assert_allclose(np.asarray(got_img), np.asarray(want_img),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_raw), np.asarray(want_raw),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_multihost_init_disabled_by_default(monkeypatch):
     """init_distributed is a no-op (returns False) without the flag/env —
     single-process behavior unchanged; process_info reports (0, 1)."""

@@ -109,6 +109,15 @@ def test_http_api_end_to_end(tiny_service):
             avi = r.read()
         assert avi[:4] == b"RIFF" and b"MJPG" in avi
 
+        # Unbounded client frame counts are rejected, not rendered
+        # (ADVICE r2: one huge request would tie up the device loop).
+        try:
+            post("/orbit", {"identity": ident, "frames": 100000})
+            clamped = False
+        except urllib.error.HTTPError as err:
+            clamped = err.code == 400
+        assert clamped
+
         # Unknown identity -> 404.
         try:
             post("/render", {"identity": "nope"})

@@ -129,3 +129,20 @@ def test_load_train_state_rejects_config_mismatch(tmp_path):
                            jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="leaves"):
         load_train_state(path, bad)
+
+
+def test_load_train_state_rejects_shape_mismatch(tmp_path):
+    """Same leaf COUNT but a different leaf shape must fail loudly at load
+    time with the offending leaf's path (ADVICE r2: leaf-count-only
+    validation let same-count/different-config checkpoints load silently)."""
+    g, enc, disc, vgg, cfg, state, _, _ = tiny_setup()
+    path = str(tmp_path / "ts.npz")
+    save_train_state(path, state)
+    data = dict(np.load(path, allow_pickle=False))
+    # Tamper the largest leaf's shape without changing the leaf count.
+    key = max((k for k in data if k.startswith("train_state/")),
+              key=lambda k: data[k].size)
+    data[key] = data[key].reshape(-1)
+    np.savez(path, **data)
+    with pytest.raises(ValueError, match="shape"):
+        load_train_state(path, state)

@@ -1,0 +1,228 @@
+"""Config-ablation / sub-graph profile of the TRAINING step (VERDICT r2
+item 2: training-side perf rigor).
+
+Methodology (same rules as tools/profile_renderer.py, adapted to training):
+the axon relay makes `block_until_ready` unreliable and charges ~95 s/GB for
+NEW device buffers returned to host, so every timed program returns ONE
+scalar (a grad-norm sum) and is fenced by float(). Isolated timings carry
+~30 ms dispatch overhead per call — negligible against second-scale training
+stages. The stages partition the G branch the way BASELINE.md's inference
+stage table partitions the frame:
+
+  e_fwd_bwd            ResNeXt50 encoder forward+backward
+  backbone_fwd_bwd     mapping + StyleGAN2 synthesis to 96ch planes, f+b
+  render_fwd_bwd       two-pass volumetric render given planes, f+b
+  sr_fwd_bwd           SuperresolutionHybrid8XDC given features, f+b
+  lpips_fwd_bwd        VGG16-LPIPS at 512^2 + 64^2, f+b
+  synthesis_fwd_bwd    backbone+render+SR end-to-end, f+b (remat'd)
+  g_branch             the full G loss (recon + depth-GAN G term), f+b
+  d_branch             depth-D loss incl. R1 (nested grad), f+b
+  full_step            the production jitted train_step (both Adams)
+
+Run on the real chip:  python tools/profile_train.py --batch 4 --dtype bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timed(fn, *args, reps=3, warmup=1):
+    """Median wall time of fn(*args) fenced by a scalar fetch."""
+    import jax.numpy as jnp
+
+    for _ in range(warmup):
+        float(fn(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def grad_norm(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--dtype", choices=["fp32", "bf16"], default="fp32")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gnerf_tpu.models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
+    from gnerf_tpu.training import (
+        SyntheticDataset,
+        TrainConfig,
+        VGG16LPIPS,
+        data_iterator,
+        init_train_state,
+        make_optimizers,
+        make_train_step,
+    )
+    from gnerf_tpu.training import losses as L
+    from gnerf_tpu.ops.interpolate import interpolate_bilinear
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    B = args.batch
+    g = TriPlaneGenerator()  # flagship defaults: 512^2, 8XDC, 48+48
+    enc = ResNeXt50Encoder(out_dim=g.z_dim)
+    disc = Discriminator(c_dim=25, img_resolution=g.neural_rendering_resolution,
+                         img_channels=1)
+    vgg = VGG16LPIPS()
+    cfg = TrainConfig(batch_size=B, gan_depth=True, train_en=True,
+                      train_gen=True, dtype=dtype)
+    state = init_train_state(g, enc, disc, vgg, cfg, jax.random.PRNGKey(0))
+    opt_g, opt_d = make_optimizers(g, state.params_e, state.params_g, cfg)
+    step_fn = make_train_step(g, enc, disc, vgg, opt_g, opt_d, cfg)
+
+    ds = SyntheticDataset(resolution=g.img_resolution,
+                          depth_resolution=g.neural_rendering_resolution,
+                          size=B * 2)
+    batch = {k: jnp.asarray(v) for k, v in next(data_iterator(ds, B)).items()}
+    res = cfg.neural_rendering_resolution
+
+    id_images = batch["condition_image"].astype(cfg.dtype) / 127.5 - 1.0
+    loss_c = batch["loss_c"].astype(jnp.float32)
+    real_img = batch["loss_image"].astype(jnp.float32) / 127.5 - 1.0
+    real_raw = interpolate_bilinear(
+        batch["loss_image"].astype(jnp.float32), res, res, antialias=True
+    ) / 127.5 - 1.0
+
+    results: dict[str, float] = {}
+
+    # --- encoder ---------------------------------------------------------
+    @jax.jit
+    def e_fb(params_e, state_e, x):
+        def f(p):
+            z, _ = enc.apply(p, state_e, x, train=True)
+            return jnp.sum(z)
+
+        return grad_norm(jax.grad(f)(params_e))
+
+    results["e_fwd_bwd"] = timed(e_fb, state.params_e, state.state_e, id_images,
+                                 reps=args.reps)
+
+    # Shared activations for the stage boundaries (computed once, reused).
+    z0, _ = enc.apply(state.params_e, state.state_e, id_images, train=False)
+    ws0 = g.mapping(state.params_g, z0, loss_c)
+    planes0 = g.backbone_planes(state.params_g, ws0, noise_mode="const",
+                                dtype=cfg.dtype)
+    ws0, planes0 = jax.block_until_ready((ws0, planes0))
+
+    # --- mapping + backbone ---------------------------------------------
+    @jax.jit
+    def bb_fb(params_g, z, c):
+        def f(p):
+            ws = g.mapping(p, z, c)
+            planes = g.backbone_planes(p, ws, noise_mode="const",
+                                       dtype=cfg.dtype)
+            return jnp.sum(planes.astype(jnp.float32))
+
+        return grad_norm(jax.grad(f)(params_g))
+
+    results["backbone_fwd_bwd"] = timed(bb_fb, state.params_g, z0, loss_c,
+                                        reps=args.reps)
+
+    # --- volumetric render (two passes), given planes --------------------
+    @jax.jit
+    def render_fb(params_g, planes, c, ws):
+        def f(pl):
+            out = g.render_planes(params_g, pl, c, ws,
+                                  neural_rendering_resolution=res,
+                                  noise_mode="const", dtype=cfg.dtype,
+                                  superres=False)
+            return (jnp.sum(out["feature_image"].astype(jnp.float32))
+                    + jnp.sum(out["image_depth"]))
+
+        return jnp.sum(jnp.square(jax.grad(f)(planes).astype(jnp.float32)))
+
+    # --- superresolution, given features --------------------------------
+    feat0 = jax.block_until_ready(
+        g.render_planes(state.params_g, planes0, loss_c, ws0,
+                        neural_rendering_resolution=res, noise_mode="const",
+                        dtype=cfg.dtype, superres=False)["feature_image"])
+
+    @jax.jit
+    def sr_fb(params_g, feat, ws):
+        def f(x):
+            sr = g.superresolution
+            rgb = x[:, :3]
+            img = sr.apply(params_g["superresolution"], rgb, x, ws,
+                           noise_mode="none", dtype=cfg.dtype)[0]
+            return jnp.sum(img.astype(jnp.float32))
+
+        return jnp.sum(jnp.square(jax.grad(f)(feat).astype(jnp.float32)))
+
+    # --- LPIPS at both scales -------------------------------------------
+    @jax.jit
+    def lpips_fb(params_vgg, fake_full, fake_raw):
+        def f(a, b):
+            return (L.lpips_distance(vgg, params_vgg, real_img, a).sum()
+                    + L.lpips_distance(vgg, params_vgg, real_raw, b).sum())
+
+        ga, gb = jax.grad(f, argnums=(0, 1))(fake_full, fake_raw)
+        return jnp.sum(jnp.square(ga)) + jnp.sum(jnp.square(gb))
+
+    # --- full synthesis f+b ---------------------------------------------
+    @jax.jit
+    def synth_fb(params_g, z, c, key):
+        def f(p):
+            ws = g.mapping(p, z, c)
+            out = g.synthesis(p, ws, c, neural_rendering_resolution=res,
+                              noise_mode="random", rng=key, dtype=cfg.dtype)
+            return (jnp.sum(out["image"].astype(jnp.float32))
+                    + jnp.sum(out["image_raw"].astype(jnp.float32)))
+
+        return grad_norm(jax.grad(f)(params_g))
+
+    try:
+        results["render_fwd_bwd"] = timed(
+            render_fb, state.params_g, planes0, loss_c, ws0, reps=args.reps)
+        results["sr_fwd_bwd"] = timed(sr_fb, state.params_g, feat0, ws0,
+                                      reps=args.reps)
+    except TypeError as err:
+        print(f"(stage split unavailable: {err})")
+    fake_full = real_img + 0.01
+    fake_raw = real_raw + 0.01
+    results["lpips_fwd_bwd"] = timed(lpips_fb, state.params_vgg, fake_full,
+                                     fake_raw, reps=args.reps)
+    results["synthesis_fwd_bwd"] = timed(
+        synth_fb, state.params_g, z0, loss_c, jax.random.PRNGKey(2),
+        reps=args.reps)
+
+    # --- full production step -------------------------------------------
+    step = jax.jit(step_fn, donate_argnums=())
+
+    def full(state_, batch_, key):
+        _, stats = step(state_, batch_, key)
+        return stats["Loss/G/l1_loss"]
+
+    results["full_step"] = timed(full, state, batch, jax.random.PRNGKey(3),
+                                 reps=args.reps)
+
+    print(json.dumps({
+        "batch": B, "dtype": args.dtype,
+        "stages_s": {k: round(v, 3) for k, v in results.items()},
+        "imgs_per_s_per_chip": round(B / results["full_step"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

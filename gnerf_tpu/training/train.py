@@ -76,13 +76,15 @@ def save_image_grid(images: np.ndarray, path: str, drange=(-1, 1),
     Image.fromarray(img).save(path)
 
 
-def make_validator(g, enc, cfg):
-    """Validation SSIM over held-out items — the metric that gates the
-    best-checkpoint snapshot (reference `training_loop.py:474-529`)."""
-    from .losses import ssim as ssim_fn
+def make_validator(g, enc, cfg, vgg=None):
+    """Validation SSIM (gates the best-checkpoint snapshot, reference
+    `training_loop.py:474-529`) plus PSNR and a VGG-feature perceptual
+    distance, so the quality-gate run logs a full curve set per tick."""
+    from .losses import lpips_distance, ssim as ssim_fn
+    from .metrics import psnr as psnr_fn
 
     @jax.jit
-    def validate_batch(params_e, state_e, params_g, batch):
+    def validate_batch(params_e, state_e, params_g, params_vgg, batch):
         id_images = batch["condition_image"].astype(jnp.float32) / 127.5 - 1.0
         z, _ = enc.apply(params_e, state_e, id_images, train=False)
         c = batch["loss_c"].astype(jnp.float32)
@@ -91,7 +93,13 @@ def make_validator(g, enc, cfg):
         real = batch["loss_image"].astype(jnp.float32) / 127.5 - 1.0
         val = ssim_fn(real * 0.5 + 0.5, out["image"] * 0.5 + 0.5,
                       data_range=1.0)
-        return val, out["image"]
+        psnr = psnr_fn(real * 0.5 + 0.5, out["image"] * 0.5 + 0.5,
+                       data_range=1.0).mean()
+        if vgg is not None and params_vgg is not None:
+            lp = lpips_distance(vgg, params_vgg, real, out["image"]).mean()
+        else:
+            lp = jnp.zeros(())
+        return val, psnr, lp, out["image"]
 
     return validate_batch
 
@@ -491,7 +499,7 @@ def run_training(
                    out_shardings=(repl, repl), donate_argnums=(0,))
 
     # Validation + snapshots.
-    validate_batch = make_validator(g, enc, cfg)
+    validate_batch = make_validator(g, enc, cfg, vgg=vgg)
     val_items = [dataset[i] for i in range(min(4, len(dataset)))]
     from .dataset import collate
 
@@ -556,23 +564,30 @@ def run_training(
             msg = " ".join(
                 f"{k.split('/')[-1]} {v['mean']:.4f}" for k, v in fields.items()
             )
-            # Validation SSIM on the held-out grid; gate the best snapshot.
-            val_ssim, val_images = validate_batch(
-                state.params_e, state.state_e, state.params_g_ema, val_batch
+            # Validation metrics on the held-out grid; SSIM gates the best
+            # snapshot (PSNR/perceptual logged alongside for the curves).
+            val_ssim, val_psnr, val_lpips, val_images = validate_batch(
+                state.params_e, state.state_e, state.params_g_ema,
+                state.params_vgg, val_batch
             )
-            val_ssim = float(val_ssim)
+            val_ssim, val_psnr, val_lpips = (
+                float(val_ssim), float(val_psnr), float(val_lpips))
+            val_metrics = {"Metrics/val_ssim": val_ssim,
+                           "Metrics/val_psnr": val_psnr,
+                           "Metrics/val_lpips": val_lpips}
             if rank == 0:
                 print(f"tick {tick_idx:<5d} kimg {cur_nimg / 1000:<8.1f} "
-                      f"sec/tick {now - tick_start:<7.1f} val_ssim {val_ssim:.4f} {msg}")
+                      f"sec/tick {now - tick_start:<7.1f} val_ssim {val_ssim:.4f} "
+                      f"val_psnr {val_psnr:.2f} {msg}")
                 collector.write_jsonl(
                     os.path.join(run_dir, "stats.jsonl"),
-                    extra={"kimg": cur_nimg / 1000, "Metrics/val_ssim": val_ssim},
+                    extra={"kimg": cur_nimg / 1000, **val_metrics},
                 )
             if tb_writer is not None:
                 for name, v in fields.items():
                     tb_writer.add_scalar(name, v["mean"], global_step=cur_nimg)
-                tb_writer.add_scalar("Metrics/val_ssim", val_ssim,
-                                     global_step=cur_nimg)
+                for name, v in val_metrics.items():
+                    tb_writer.add_scalar(name, v, global_step=cur_nimg)
                 tb_writer.flush()
             is_best = val_ssim > best_ssim
             best_ssim = max(best_ssim, val_ssim)

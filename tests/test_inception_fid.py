@@ -74,6 +74,7 @@ def test_features_match_torch_oracle(oracle_and_params):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_init_tree_matches_converted_structure(oracle_and_params):
     _, params = oracle_and_params
     rand = InceptionV3Features().init(jax.random.PRNGKey(0))

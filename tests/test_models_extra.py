@@ -116,6 +116,7 @@ def _tiny_g():
     )
 
 
+@pytest.mark.slow
 def test_eg3d_train_step_tiny():
     from gnerf_tpu.training.eg3d_loss import (
         EG3DLossConfig,
@@ -175,6 +176,7 @@ def test_ada_controller_dynamics():
     assert p == pytest.approx(100 * step)
 
 
+@pytest.mark.slow
 def test_eg3d_train_step_with_ada_tiny():
     """EG3D step with the bgc AugmentPipe live in the D path: finite losses,
     both nets move, and gradients flow THROUGH the augmented inputs (the

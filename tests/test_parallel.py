@@ -208,6 +208,7 @@ def test_multihost_init_disabled_by_default(monkeypatch):
     assert (rank, world) == (0, 1)
 
 
+@pytest.mark.slow
 def test_full_pipeline_train_step_8device_mesh():
     """CI guard for the driver's multichip gate (round-1 red item): the FULL
     training step — encoder + generator + depth-D + VGG LPIPS + both Adams +

@@ -1,6 +1,7 @@
 """Tests for the PTI fine-tuning harness."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,7 @@ def test_morphed_w_code_distance():
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out - fixed)), 3.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pti_step_freezes_sr_and_reduces_loss():
     g, vgg = _tiny()
     params_g = g.init(jax.random.PRNGKey(0))
@@ -82,6 +84,7 @@ def test_pti_step_freezes_sr_and_reduces_loss():
     )
 
 
+@pytest.mark.slow
 def test_pti_locality_regularizer_runs():
     g, vgg = _tiny()
     params_g = g.init(jax.random.PRNGKey(0))

@@ -27,9 +27,12 @@ import pytest
 
 REF = "/root/reference/g_nerf"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference checkout unavailable"
-)
+pytestmark = [
+    pytest.mark.slow,  # torch-oracle golden parity: heavy shared setup (~70s+)
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference checkout unavailable"
+    ),
+]
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

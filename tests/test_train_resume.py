@@ -54,6 +54,7 @@ def tiny_setup(dtype=jnp.float32, batch: int = 4):
     return g, enc, disc, vgg, cfg, state, step, ds
 
 
+@pytest.mark.slow
 def test_multi_tick_convergence_bf16_with_depth_gan():
     """~50 steps on synthetic data in bf16 with the depth-GAN branch live:
     the reconstruction loss must descend and every stat stay finite (the
@@ -80,6 +81,7 @@ def test_multi_tick_convergence_bf16_with_depth_gan():
         assert bool(jnp.isfinite(leaf).all())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["npz", "orbax"])
 def test_save_resume_bit_identical(tmp_path, backend):
     """Save full state mid-run, continue 3 steps; reload into a fresh

@@ -116,6 +116,7 @@ def _tiny_setup(train_gen=True, gan_depth=True):
     return g, enc, disc, vgg, cfg
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_updates():
     g, enc, disc, vgg, cfg = _tiny_setup(train_gen=True)
     state = init_train_state(g, enc, disc, vgg, cfg, jax.random.PRNGKey(0))
@@ -144,6 +145,7 @@ def test_train_step_runs_and_updates():
     assert not np.allclose(d_before, d_after)
 
 
+@pytest.mark.slow
 def test_train_step_respects_frozen_generator():
     g, enc, disc, vgg, cfg = _tiny_setup(train_gen=False, gan_depth=False)
     state = init_train_state(g, enc, disc, vgg, cfg, jax.random.PRNGKey(0))

@@ -20,6 +20,14 @@ program serves all poses; the identity cache holds device-resident
 PackedPlanes (bf16, ~25 MB each) with LRU eviction; rendering batches of
 frames reuse the same chunked program as bench.py/gen_videos.
 
+Concurrency: single-frame requests from CONCURRENT clients are
+micro-batched — a collector thread drains a bounded queue into one
+batched program (different identities' packed planes stack along the
+batch axis; the tail pads by repeating, so the program shape stays
+static). The bounded queue is the backpressure valve: when it is full the
+HTTP layer answers 503 instead of queueing unboundedly. Orbit requests
+keep the dedicated chunked-throughput program.
+
 Measured at flagship scale (512^2, v5e through the dev relay): warm
 identity onboarding 0.05 s, single-frame latency ~104 ms (~30 ms of which
 is relay dispatch; device time ~15 ms), orbit throughput limited by the
@@ -35,7 +43,9 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue
 import threading
+import time
 from collections import OrderedDict
 from typing import Optional
 
@@ -48,11 +58,93 @@ import jax.numpy as jnp
 MAX_ORBIT_FRAMES = 300
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised when the request queue is full — the HTTP layer maps this to
+    503 so callers get immediate backpressure instead of unbounded queueing."""
+
+
+class _Slot:
+    __slots__ = ("event", "result", "error")
+
+    def __init__(self):
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Batches concurrent single-item requests into one device program.
+
+    TPU serving wants LARGE batched programs (MXU utilization) and a SINGLE
+    thread issuing device work (one program stream, no lock contention), so
+    instead of a per-request device call under a lock, requests land in a
+    bounded queue and a collector thread drains up to `batch_size` of them
+    per dispatch (waiting at most `window_ms` for stragglers after the
+    first). `run_batch(items)` must return one result per item; errors fan
+    out to every request in the failed batch. The bounded queue is the
+    backpressure valve: `submit` raises ServiceOverloaded when it is full.
+    """
+
+    def __init__(self, run_batch, batch_size: int = 4, window_ms: float = 4.0,
+                 max_queue: int = 64):
+        self.run_batch = run_batch
+        self.batch_size = batch_size
+        self.window = window_ms / 1e3
+        self.queue: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._stop = False
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, item):
+        slot = _Slot()
+        try:
+            self.queue.put_nowait((item, slot))
+        except queue.Full:
+            raise ServiceOverloaded(
+                f"request queue full ({self.queue.maxsize}); retry later"
+            ) from None
+        slot.event.wait()
+        if slot.error is not None:
+            raise slot.error
+        return slot.result
+
+    def close(self):
+        self._stop = True
+        self.thread.join(timeout=2)
+
+    def _loop(self):
+        while not self._stop:
+            try:
+                batch = [self.queue.get(timeout=0.1)]
+            except queue.Empty:
+                continue
+            deadline = time.perf_counter() + self.window
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                results = self.run_batch([item for item, _ in batch])
+                for (_, slot), result in zip(batch, results):
+                    slot.result = result
+                    slot.event.set()
+            except Exception as err:  # noqa: BLE001 — fan the error out
+                for _, slot in batch:
+                    slot.error = err
+                    slot.event.set()
+
+
 class GNerfService:
     """Checkpoint-resident renderer with an LRU identity cache."""
 
     def __init__(self, g, params_g, enc=None, params_e=None, state_e=None,
-                 max_identities: int = 16, dtype=jnp.bfloat16):
+                 max_identities: int = 16, dtype=jnp.bfloat16,
+                 microbatch: int = 4, microbatch_window_ms: float = 4.0,
+                 max_queue: int = 64):
         self.g = g
         self.params_g = params_g
         self.enc = enc
@@ -112,6 +204,36 @@ class GNerfService:
         self._prepare = _prepare
         self._render = _render
         self._render_chunk = _render_chunk
+        # Cross-request micro-batching of single-frame renders: concurrent
+        # clients' (different) identities stack along the batch axis of ONE
+        # program (PackedPlanes rows concatenate; the packed-sampling base
+        # index already handles n>1 batches). microbatch=0 disables.
+        self._batcher = (
+            MicroBatcher(self._run_frame_batch, batch_size=microbatch,
+                         window_ms=microbatch_window_ms, max_queue=max_queue)
+            if microbatch and microbatch > 1 else None
+        )
+
+    def _run_frame_batch(self, items):
+        """items: list of (ws [1,...], PackedPlanes n=1, label [1,25]) →
+        list of [H, W, 3] uint8 frames. Pads the tail by repeating the
+        first item so every dispatch has the same static batch shape."""
+        n = len(items)
+        B = self._batcher.batch_size if self._batcher else n
+        items = items + [items[0]] * (B - n)
+        ws = jnp.concatenate([it[0] for it in items], axis=0)
+        from ..render.renderer import PackedPlanes
+
+        p0 = items[0][1]
+        rows = jnp.concatenate([it[1].rows for it in items], axis=0)
+        planes = PackedPlanes(rows, B * p0.n, p0.c, p0.h, p0.w)
+        cs = jnp.concatenate([it[2] for it in items], axis=0)
+        imgs = np.asarray(self._render(self.params_g, planes, ws, cs))
+        return [imgs[i].transpose(1, 2, 0) for i in range(n)]
+
+    def close(self):
+        if self._batcher is not None:
+            self._batcher.close()
 
     # -- identities ---------------------------------------------------------
 
@@ -164,6 +286,8 @@ class GNerfService:
                 if fov is not None else camera.FFHQ_INTRINSICS)
         c = camera.pose_to_label(
             camera.lookat_sample(yaw, pitch, radius=radius), intr)
+        if self._batcher is not None:
+            return self._batcher.submit((ws, planes, jnp.asarray(c)))
         img = np.asarray(self._render(self.params_g, planes, ws,
                                       jnp.asarray(c)))
         return img[0].transpose(1, 2, 0)
@@ -310,6 +434,8 @@ def make_handler(service: GNerfService):
                     self._json(404, {"error": "not found"})
             except KeyError as err:
                 self._json(404, {"error": f"unknown identity {err}"})
+            except ServiceOverloaded as err:
+                self._json(503, {"error": str(err)})
             except Exception as err:  # noqa: BLE001 — serving boundary
                 self._json(500, {"error": str(err)})
 

@@ -65,6 +65,82 @@ def test_service_encode_render_and_lru(tiny_service):
     assert len(orbit) == 3
 
 
+def test_microbatch_concurrent_matches_direct(tiny_service):
+    """Concurrent single-frame requests (different identities) micro-batch
+    into one program; each caller's pixels must equal the un-batched
+    single-identity program's output."""
+    from gnerf_tpu.utils import camera
+
+    s = tiny_service
+    assert s._batcher is not None  # on by default
+    ids = [s.encode_seed(100), s.encode_seed(101)]
+    poses = [(np.pi / 2 + 0.2, np.pi / 2), (np.pi / 2 - 0.3, np.pi / 2 + 0.1)]
+
+    def direct(ident, yaw, pitch):
+        ws, planes = s._get(ident)
+        c = camera.pose_to_label(
+            camera.lookat_sample(yaw, pitch, radius=2.7),
+            camera.FFHQ_INTRINSICS)
+        img = np.asarray(s._render(s.params_g, planes, ws, jnp.asarray(c)))
+        return img[0].transpose(1, 2, 0)
+
+    want = [direct(i, *p) for i, p in zip(ids, poses)]
+
+    got = [None, None]
+    errs = []
+
+    def worker(k):
+        try:
+            got[k] = s.render_frame(ids[k], yaw=poses[k][0], pitch=poses[k][1])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(k,)) for k in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    for g_, w in zip(got, want):
+        np.testing.assert_array_equal(g_, w)
+
+
+def test_microbatcher_backpressure_and_error_fanout():
+    from gnerf_tpu.infer.server import MicroBatcher, ServiceOverloaded
+    import time as _time
+
+    release = threading.Event()
+
+    def slow_batch(items):
+        release.wait(timeout=5)
+        if items[0] == "boom":
+            raise ValueError("boom")
+        return [x * 2 for x in items]
+
+    mb = MicroBatcher(slow_batch, batch_size=1, window_ms=0.0, max_queue=1)
+    try:
+        # First submit occupies the worker; fill the queue, then overflow.
+        results = []
+        t1 = threading.Thread(target=lambda: results.append(mb.submit(1)))
+        t1.start()
+        _time.sleep(0.2)  # worker now blocked in slow_batch
+        t2 = threading.Thread(target=lambda: results.append(mb.submit(2)))
+        t2.start()
+        _time.sleep(0.2)  # queue holds item 2
+        with pytest.raises(ServiceOverloaded):
+            mb.submit(3)
+        release.set()
+        t1.join(timeout=5)
+        t2.join(timeout=5)
+        assert sorted(results) == [2, 4]
+        # Errors fan out to the submitting caller.
+        with pytest.raises(ValueError, match="boom"):
+            mb.submit("boom")
+    finally:
+        release.set()
+        mb.close()
+
+
 def test_http_api_end_to_end(tiny_service):
     from http.server import ThreadingHTTPServer
 

@@ -218,9 +218,12 @@ def sample_packed_rows(packed: PackedPlanes, coordinates: jax.Array,
     w10 = (1 - wx) * wy * mask(x0, y0 + 1)
     w11 = wx * wy * mask(x0 + 1, y0 + 1)
     cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # [N, M, 3, 4]
-    # Expand weights over channels and apply; XLA fuses this elementwise
-    # chain into the gather consumer (single pass over the rows).
-    wexp = jnp.repeat(cw.reshape(-1, 4), C, axis=-1)  # [N*M*3, 4C]
+    # Expand weights over channels (broadcast, NOT jnp.repeat — repeat
+    # lowers to a gather that stalls fusion with the row-gather consumer)
+    # and apply; XLA fuses the elementwise chain into a single pass.
+    wexp = jnp.broadcast_to(
+        cw.reshape(-1, 4)[:, :, None], (cw.size // 4, 4, C)
+    ).reshape(-1, 4 * C)
     weighted = gathered * wexp
     return weighted.reshape(N * M, n_planes * 4 * C)
 
@@ -349,12 +352,35 @@ def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2,
     method='sort': one variadic `lax.sort` carries every payload lane
     through the sort network — EXACT (no dot rounding) and no S x S
     contraction; A/B-benchmarked against 'onehot' on real hardware
-    (tools/profile_renderer.py)."""
+    (tools/profile_renderer.py).
+    method='hybrid': the fp32 scalar lanes (depth, density) ride the sort
+    network (exact, no S x S fp32 HIGHEST matrix), while the wide color
+    block is permuted by ONE bf16 one-hot contraction (exact transport —
+    a single nonzero per output row — at DEFAULT precision). Cuts the
+    permutation-matrix HBM traffic of 'onehot' roughly in half and keeps
+    the sort network narrow."""
     all_depths = jnp.concatenate([depths1, depths2], axis=-2)
     all_colors = jnp.concatenate([colors1, colors2], axis=-2)
     all_densities = jnp.concatenate([densities1, densities2], axis=-2)
     d = all_depths.shape[-1]
     c = all_colors.shape[-1]
+
+    if method == "hybrid":
+        assert d == 1 and all_densities.shape[-1] == 1, (
+            "hybrid merge assumes scalar depth/density lanes"
+        )
+        s = all_depths.shape[-2]
+        key = all_depths[..., 0]  # [N, R, S]
+        iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, key.ndim - 1)
+        key_s, dens_s, perm = jax.lax.sort(
+            (key, all_densities[..., 0], iota), dimension=-1, num_keys=1
+        )
+        oh = jax.nn.one_hot(perm, s, dtype=all_colors.dtype)
+        colors = jnp.einsum(
+            "nrij,nrjc->nric", oh, all_colors,
+            precision=dot_precision(all_colors.dtype),
+        )
+        return key_s[..., None], colors, dens_s[..., None]
 
     if method == "sort":
         # [N, R, S, L] -> variadic sort of L same-shape operands keyed by

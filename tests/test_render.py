@@ -308,3 +308,28 @@ def test_unify_samples_sort_method_matches_onehot():
     got = unify_samples(*j, method="sort")
     for w, g in zip(want, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_unify_samples_hybrid_method_matches_onehot():
+    """hybrid (scalar lanes via lax.sort + bf16-exact one-hot colors) must
+    transport every payload bit-exactly, fp32 colors included."""
+    rng = np.random.RandomState(11)
+    args = []
+    for s in (6, 5):
+        args += [np.sort(rng.rand(2, 3, s, 1), axis=2).astype(np.float32),
+                 rng.rand(2, 3, s, 4).astype(np.float32),
+                 rng.rand(2, 3, s, 1).astype(np.float32)]
+    j = [jnp.asarray(a) for a in args]
+    want = unify_samples(*j, method="onehot")
+    got = unify_samples(*j, method="hybrid")
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+    # bf16 colors (the production dtype) transport exactly too.
+    jb = list(j)
+    jb[1] = jb[1].astype(jnp.bfloat16)
+    jb[4] = jb[4].astype(jnp.bfloat16)
+    want = unify_samples(*jb, method="onehot")
+    got = unify_samples(*jb, method="hybrid")
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

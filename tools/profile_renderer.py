@@ -128,6 +128,37 @@ def main():
     unify_s = jax.jit(lambda *a: R.unify_samples(*a, method="sort"))
     results["sortmerge_sort_ms"] = timeit(
         unify_s, depths, colors, sigmas, fine, colors, sigmas) * 1e3
+    unify_h = jax.jit(lambda *a: R.unify_samples(*a, method="hybrid"))
+    results["sortmerge_hybrid_ms"] = timeit(
+        unify_h, depths, colors, sigmas, fine, colors, sigmas) * 1e3
+
+    # March at the merged S=2*48 length (the production final march; the
+    # march_ms row above is the S=48 coarse-pass one).
+    d96 = jnp.concatenate([depths, fine], axis=2)
+    c96 = jnp.concatenate([colors, colors], axis=2)
+    s96 = jnp.concatenate([sigmas, sigmas], axis=2)
+    results["march96_ms"] = timeit(march, c96, s96, d96) * 1e3
+
+    # Ray generation (camera -> origins/directions), part of the full
+    # frame but outside every stage above.
+    raygen = jax.jit(lambda a, b: sample_rays(a, b, res))
+    results["raygen_ms"] = timeit(raygen, cam2world, intr) * 1e3
+
+    # Stratified depth generation (deterministic grid).
+    strat = jax.jit(
+        lambda oo: I.sample_stratified(None, oo, ray_start, ray_end, S))
+    results["stratified_ms"] = timeit(strat, o) * 1e3
+
+    # Eval chain WITH point generation folded in (what render_rays actually
+    # runs per pass) vs the precomputed-pts gather rows above: the delta is
+    # the unnormalize/floor/index glue + pts expansion.
+    def eval_chain(pk, oo, dd, de):
+        pts_ = (oo[:, :, None, :] + de * dd[:, :, None, :]).reshape(F, -1, 3)
+        feats_ = R.sample_packed_planes(pk, pts_, opts["box_warp"])
+        return g.decoder.apply(params["decoder"], feats_, None)["rgb"]
+
+    results["evalchain_ptsgen_ms"] = timeit(
+        jax.jit(eval_chain), packed, o, d, depths) * 1e3
 
     def _decode_closure():
         def decode(f, di):
@@ -141,6 +172,19 @@ def main():
         lambda pk, oo, dd: R.render_rays(pk, _decode_closure(),
                                          oo, dd, opts, rng=None))
     results["volumetric_total_ms"] = timeit(full_vol, packed, o, d) * 1e3
+
+    opts_h = dict(opts, sample_merge="hybrid")
+    full_vol_h = jax.jit(
+        lambda pk, oo, dd: R.render_rays(pk, _decode_closure(),
+                                         oo, dd, opts_h, rng=None))
+    results["volumetric_hybrid_ms"] = timeit(full_vol_h, packed, o, d) * 1e3
+
+    # Coarse-only ablation (no importance pass): one gather+decode+march.
+    opts_c = dict(opts, depth_resolution_importance=0)
+    vol_coarse = jax.jit(
+        lambda pk, oo, dd: R.render_rays(pk, _decode_closure(),
+                                         oo, dd, opts_c, rng=None))
+    results["volumetric_coarse_only_ms"] = timeit(vol_coarse, packed, o, d) * 1e3
 
     feats_img, _, _ = full_vol(packed, o, d)
     feature_image = feats_img.transpose(0, 2, 1).reshape(F, -1, res, res)

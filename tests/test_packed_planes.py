@@ -30,6 +30,30 @@ def test_packed_matches_unpacked():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_packed_combine_mxu_matches_lanes():
+    """The MXU corner-combine (one-hot [4C,C] contraction) must equal the
+    lane-slice combine exactly in fp32, and to bf16 rounding in bf16."""
+    rng = np.random.RandomState(2)
+    N, C, H, W, M = 1, 32, 16, 16, 300
+    planes32 = jnp.asarray(rng.randn(N, 3, C, H, W), jnp.float32)
+    pts = jnp.asarray(rng.uniform(-0.55, 0.55, (N, M, 3)), jnp.float32)
+
+    a = sample_packed_planes(pack_planes(planes32), pts, box_warp=1.0,
+                             combine="mxu")
+    b = sample_packed_planes(pack_planes(planes32), pts, box_warp=1.0,
+                             combine="lanes")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+
+    packed16 = pack_planes(planes32.astype(jnp.bfloat16))
+    a16 = sample_packed_planes(packed16, pts, box_warp=1.0, combine="mxu")
+    b16 = sample_packed_planes(packed16, pts, box_warp=1.0, combine="lanes")
+    assert a16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(a16, np.float32), np.asarray(b16, np.float32),
+        rtol=0.0, atol=0.05)  # one bf16 ulp of the corner sums
+
+
 def test_packed_render_matches_unpacked():
     from gnerf_tpu.render import sample_rays
     from gnerf_tpu.utils import camera

@@ -8,6 +8,7 @@ from .renderer import (
     PackedPlanes,
     pack_planes,
     project_onto_planes,
+    march_merged,
     render_rays,
     run_model,
     sample_from_planes,
@@ -18,6 +19,7 @@ from .renderer import (
 __all__ = [
     "get_ray_limits_box",
     "linspace_batched",
+    "march_merged",
     "march_rays",
     "normalize_vecs",
     "PackedPlanes",

@@ -438,6 +438,68 @@ def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2,
     return payload[..., :d], payload[..., d : d + c], payload[..., d + c :]
 
 
+def march_merged(depths1, colors1, densities1, depths2, colors2, densities2,
+                 options: Mapping[str, Any]):
+    """Merge + composite without transporting colors through the sort.
+
+    `sample_merge='weights'`: the midpoint compositing of `march_rays` is
+    LINEAR in the sorted colors — rgb = sum_i w_i (c_i + c_{i+1})/2 =
+    sum_j v_j c_sorted[j] with the 2-tap stencil v_j = (w_{j-1} + w_j)/2
+    (w_{-1} = w_{S-1} = 0). So instead of permuting the wide [S, C] color
+    block (the one-hot contraction of 'hybrid'/'onehot', or 34 payload
+    lanes of 'sort'), sort ONLY the scalar lanes (depth, density, iota),
+    march to per-sample weights v in sorted order, and carry v back to the
+    ORIGINAL sample order with a second scalar sort keyed on the
+    permutation. Colors are then consumed UNSORTED by one streaming
+    weighted sum — no S x S one-hot matrix, no color transport at all.
+    Same math as unify_samples + march_rays (fp32 summation re-association
+    only; march semantics mirrored from ray_marcher.py / reference
+    MipRayMarcher2 `ray_marcher.py:25-57`)."""
+    assert options.get("clamp_mode", "softplus") == "softplus", (
+        "march_merged only supports clamp_mode='softplus'"
+    )
+    all_depths = jnp.concatenate([depths1, depths2], axis=-2)
+    all_colors = jnp.concatenate([colors1, colors2], axis=-2)
+    all_densities = jnp.concatenate([densities1, densities2], axis=-2)
+    assert all_depths.shape[-1] == 1 and all_densities.shape[-1] == 1, (
+        "weights merge assumes scalar depth/density lanes"
+    )
+
+    key = all_depths[..., 0].astype(jnp.float32)  # [N, R, S]
+    dens = all_densities[..., 0].astype(jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, key.ndim - 1)
+    d_s, dens_s, perm = jax.lax.sort((key, dens, iota), dimension=-1,
+                                     num_keys=1)
+
+    # march_rays on the sorted scalar lanes (fp32, see ray_marcher.py).
+    deltas = d_s[..., 1:] - d_s[..., :-1]
+    dens_mid = jax.nn.softplus((dens_s[..., :-1] + dens_s[..., 1:]) / 2 - 1.0)
+    depths_mid = (d_s[..., :-1] + d_s[..., 1:]) / 2
+    alpha = 1.0 - jnp.exp(-dens_mid * deltas)
+    alpha_shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1)
+    w = alpha * jnp.cumprod(alpha_shifted, axis=-1)[..., :-1]  # [N, R, S-1]
+
+    # Per-sample color weights (2-tap stencil), back to original order.
+    zero = jnp.zeros_like(w[..., :1])
+    v = (jnp.concatenate([zero, w], axis=-1)
+         + jnp.concatenate([w, zero], axis=-1)) / 2  # [N, R, S]
+    _, v_un = jax.lax.sort((perm, v), dimension=-1, num_keys=1)
+
+    composite_rgb = jnp.sum(
+        v_un[..., None] * all_colors.astype(jnp.float32), axis=-2)
+    weight_total = jnp.sum(w, axis=-1)[..., None]
+    composite_depth = jnp.sum(w * depths_mid, axis=-1)[..., None] / weight_total
+    composite_depth = jnp.nan_to_num(composite_depth, nan=jnp.inf)
+    composite_depth = jnp.clip(composite_depth, jnp.min(all_depths),
+                               jnp.max(all_depths))
+
+    if options.get("white_back", False):
+        composite_rgb = composite_rgb + 1.0 - weight_total
+    composite_rgb = composite_rgb * 2.0 - 1.0
+    return composite_rgb, composite_depth, w[..., None]
+
+
 def render_rays(
     plane_features: jax.Array,
     decoder: Decoder,
@@ -515,14 +577,21 @@ def render_rays(
         )
         depths_fine = sample_importance(keys[2], depths_coarse, weights, n_imp)
         colors_fine, densities_fine = eval_points(depths_fine, keys[3])
-        all_depths, all_colors, all_densities = unify_samples(
-            depths_coarse, colors_coarse, densities_coarse,
-            depths_fine, colors_fine, densities_fine,
-            method=options.get("sample_merge", "hybrid"),
-        )
-        rgb_final, depth_final, weights = march_rays(
-            all_colors, all_densities, all_depths, options
-        )
+        merge = options.get("sample_merge", "hybrid")
+        if merge == "weights":
+            rgb_final, depth_final, weights = march_merged(
+                depths_coarse, colors_coarse, densities_coarse,
+                depths_fine, colors_fine, densities_fine, options
+            )
+        else:
+            all_depths, all_colors, all_densities = unify_samples(
+                depths_coarse, colors_coarse, densities_coarse,
+                depths_fine, colors_fine, densities_fine,
+                method=merge,
+            )
+            rgb_final, depth_final, weights = march_rays(
+                all_colors, all_densities, all_depths, options
+            )
     else:
         rgb_final, depth_final, weights = march_rays(
             colors_coarse, densities_coarse, depths_coarse, options

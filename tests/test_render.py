@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from gnerf_tpu import ops
 from gnerf_tpu.render import (
     get_ray_limits_box,
+    march_merged,
     march_rays,
     render_rays,
     sample_from_planes,
@@ -333,3 +334,69 @@ def test_unify_samples_hybrid_method_matches_onehot():
     got = unify_samples(*jb, method="hybrid")
     for w, g in zip(want, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_march_merged_matches_unify_plus_march():
+    """'weights' merge (scalar sorts + unsorted-color weighted sum) must
+    reproduce unify_samples('hybrid') + march_rays: same math, only the
+    fp32 color summation is re-associated."""
+    rng = np.random.RandomState(13)
+    opts = {"clamp_mode": "softplus", "white_back": False}
+    args = []
+    for s in (6, 5):
+        args += [np.sort(rng.rand(2, 3, s, 1), axis=2).astype(np.float32),
+                 rng.rand(2, 3, s, 4).astype(np.float32),
+                 rng.rand(2, 3, s, 1).astype(np.float32)]
+    j = [jnp.asarray(a) for a in args]
+
+    d, c, dens = unify_samples(*j, method="hybrid")
+    want_rgb, want_depth, want_w = march_rays(c, dens, d, opts)
+    got_rgb, got_depth, got_w = march_merged(*j, opts)
+    np.testing.assert_allclose(np.asarray(got_rgb), np.asarray(want_rgb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_depth), np.asarray(want_depth),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                               rtol=1e-5, atol=1e-6)
+
+    # white_back + bf16 colors (production dtype).
+    opts_wb = {"clamp_mode": "softplus", "white_back": True}
+    jb = list(j)
+    jb[1] = jb[1].astype(jnp.bfloat16)
+    jb[4] = jb[4].astype(jnp.bfloat16)
+    d, c, dens = unify_samples(*jb, method="hybrid")
+    want_rgb, want_depth, _ = march_rays(c, dens, d, opts_wb)
+    got_rgb, got_depth, _ = march_merged(*jb, opts_wb)
+    np.testing.assert_allclose(np.asarray(got_rgb), np.asarray(want_rgb),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_depth), np.asarray(want_depth),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_render_rays_weights_merge_matches_hybrid():
+    """End-to-end render_rays with sample_merge='weights' must match the
+    default hybrid merge path at fp32 tolerance."""
+    from gnerf_tpu.utils import camera
+
+    rng = np.random.RandomState(17)
+    planes = jnp.asarray(rng.randn(1, 3, 4, 16, 16), jnp.float32)
+    c2w = camera.lookat_sample(np.pi / 2, np.pi / 2, radius=2.7)
+    o, d = sample_rays(c2w, camera.FFHQ_INTRINSICS[None], 8)
+    base = dict(depth_resolution=8, depth_resolution_importance=8,
+                ray_start=2.25, ray_end=3.3, box_warp=1.0,
+                clamp_mode="softplus", white_back=False,
+                disparity_space_sampling=False, density_noise=0)
+
+    def dec(feats, dirs):
+        m = feats.mean(1)
+        return {"rgb": jax.nn.sigmoid(m[..., :3]),
+                "sigma": m.sum(-1, keepdims=True)}
+
+    rgb1, d1, w1 = render_rays(planes, dec, o, d, dict(base, sample_merge="hybrid"))
+    rgb2, d2, w2 = render_rays(planes, dec, o, d, dict(base, sample_merge="weights"))
+    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
+                               rtol=1e-5, atol=1e-6)

@@ -131,6 +131,11 @@ def main():
     unify_h = jax.jit(lambda *a: R.unify_samples(*a, method="hybrid"))
     results["sortmerge_hybrid_ms"] = timeit(
         unify_h, depths, colors, sigmas, fine, colors, sigmas) * 1e3
+    # 'weights' merge folds the final march in (no color transport); its
+    # comparable baseline is sortmerge_hybrid_ms + march96_ms.
+    mm = jax.jit(lambda *a: R.march_merged(*a, opts))
+    results["merge_march_weights_ms"] = timeit(
+        mm, depths, colors, sigmas, fine, colors, sigmas) * 1e3
 
     # March at the merged S=2*48 length (the production final march; the
     # march_ms row above is the S=48 coarse-pass one).
@@ -178,6 +183,12 @@ def main():
         lambda pk, oo, dd: R.render_rays(pk, _decode_closure(),
                                          oo, dd, opts_h, rng=None))
     results["volumetric_hybrid_ms"] = timeit(full_vol_h, packed, o, d) * 1e3
+
+    opts_w = dict(opts, sample_merge="weights")
+    full_vol_w = jax.jit(
+        lambda pk, oo, dd: R.render_rays(pk, _decode_closure(),
+                                         oo, dd, opts_w, rng=None))
+    results["volumetric_weights_ms"] = timeit(full_vol_w, packed, o, d) * 1e3
 
     # Coarse-only ablation (no importance pass): one gather+decode+march.
     opts_c = dict(opts, depth_resolution_importance=0)

@@ -111,6 +111,15 @@ class MicroBatcher:
     def close(self):
         self._stop = True
         self.thread.join(timeout=2)
+        # Drain anything still queued (or enqueued during shutdown) so no
+        # submit() blocks forever on a slot the collector will never serve.
+        while True:
+            try:
+                _, slot = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            slot.error = ServiceOverloaded("service shut down")
+            slot.event.set()
 
     def _loop(self):
         while not self._stop:
@@ -127,15 +136,21 @@ class MicroBatcher:
                     batch.append(self.queue.get(timeout=remaining))
                 except queue.Empty:
                     break
+            # BaseException too: a SystemExit/KeyboardInterrupt escaping
+            # run_batch must not strand every queued waiter.
             try:
                 results = self.run_batch([item for item, _ in batch])
                 for (_, slot), result in zip(batch, results):
                     slot.result = result
                     slot.event.set()
-            except Exception as err:  # noqa: BLE001 — fan the error out
+            except BaseException as err:  # noqa: BLE001 — fan the error out
+                wrapped = err if isinstance(err, Exception) else RuntimeError(
+                    f"batch collector died: {err!r}")
                 for _, slot in batch:
-                    slot.error = err
+                    slot.error = wrapped
                     slot.event.set()
+                if not isinstance(err, Exception):
+                    raise
 
 
 class GNerfService:
@@ -216,10 +231,12 @@ class GNerfService:
 
     def _run_frame_batch(self, items):
         """items: list of (ws [1,...], PackedPlanes n=1, label [1,25]) →
-        list of [H, W, 3] uint8 frames. Pads the tail by repeating the
-        first item so every dispatch has the same static batch shape."""
+        list of [H, W, 3] uint8 frames. An uncontended single request runs
+        at its own n=1 shape (second cached program) instead of paying the
+        padded batch's ~B x device work; partial batches n>=2 pad the tail
+        by repeating the first item so dispatch shapes stay static."""
         n = len(items)
-        B = self._batcher.batch_size if self._batcher else n
+        B = (self._batcher.batch_size if self._batcher and n > 1 else n)
         items = items + [items[0]] * (B - n)
         ws = jnp.concatenate([it[0] for it in items], axis=0)
         from ..render.renderer import PackedPlanes

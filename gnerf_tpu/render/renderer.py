@@ -170,7 +170,11 @@ def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
         ).reshape(-1, 4 * C)
         sel = jnp.asarray(
             np.kron(np.ones((4, 1)), np.eye(C)), dtype=dtype)  # [4C, C]
+        # dot_precision: fp32 planes must contract at HIGHEST (the TPU
+        # DEFAULT fp32 dot quantizes operands to bf16-class); bf16 planes
+        # keep the fast DEFAULT path that the A/B measured.
         out = jnp.dot(gathered * wexp, sel,
+                      precision=dot_precision(dtype),
                       preferred_element_type=jnp.float32).astype(dtype)
     else:
         def wcol(w):

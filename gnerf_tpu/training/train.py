@@ -402,6 +402,11 @@ def run_training(
         "num_devices": len(jax.devices()),
         "lpips_pretrained": lpips_pretrained,
         "aug": {"mode": aug, "p0": aug_p, "ada_target": ada_target},
+        # Which train/held-out partition rule produced this run's data: eval
+        # numbers are only comparable across runs with the same scheme (the
+        # md5 rule replaced sorted-tail slicing in r3 — a resumed pre-r3 run
+        # would silently re-partition; see dataset.held_out_partition).
+        "held_out_scheme": "md5-basename-v1",
     }
     options["num_processes"] = world
     if rank == 0:

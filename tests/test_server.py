@@ -141,6 +141,42 @@ def test_microbatcher_backpressure_and_error_fanout():
         mb.close()
 
 
+def test_microbatcher_close_drains_queued_requests():
+    """A request still queued when close() runs must error out, not hang
+    its submitting thread forever."""
+    from gnerf_tpu.infer.server import MicroBatcher, ServiceOverloaded
+    import time as _time
+
+    release = threading.Event()
+
+    def slow_batch(items):
+        release.wait(timeout=5)
+        return list(items)
+
+    mb = MicroBatcher(slow_batch, batch_size=1, window_ms=0.0, max_queue=4)
+    outcomes = []
+
+    def submit_and_record(x):
+        try:
+            outcomes.append(("ok", mb.submit(x)))
+        except ServiceOverloaded as e:
+            outcomes.append(("overloaded", str(e)))
+
+    t1 = threading.Thread(target=submit_and_record, args=(1,))
+    t1.start()
+    _time.sleep(0.2)  # worker blocked in slow_batch on item 1
+    t2 = threading.Thread(target=submit_and_record, args=(2,))
+    t2.start()
+    _time.sleep(0.2)  # item 2 queued behind the blocked worker
+    mb._stop = True   # stop collector before it can dequeue item 2
+    release.set()     # let the in-flight batch finish
+    mb.close()
+    t1.join(timeout=5)
+    t2.join(timeout=5)
+    assert not t1.is_alive() and not t2.is_alive()
+    assert sorted(k for k, _ in outcomes) == ["ok", "overloaded"]
+
+
 def test_http_api_end_to_end(tiny_service):
     from http.server import ThreadingHTTPServer
 

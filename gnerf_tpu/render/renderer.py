@@ -443,22 +443,33 @@ def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2,
 
 
 def march_merged(depths1, colors1, densities1, depths2, colors2, densities2,
-                 options: Mapping[str, Any]):
+                 options: Mapping[str, Any], method: str = "sort"):
     """Merge + composite without transporting colors through the sort.
 
-    `sample_merge='weights'`: the midpoint compositing of `march_rays` is
-    LINEAR in the sorted colors — rgb = sum_i w_i (c_i + c_{i+1})/2 =
-    sum_j v_j c_sorted[j] with the 2-tap stencil v_j = (w_{j-1} + w_j)/2
-    (w_{-1} = w_{S-1} = 0). So instead of permuting the wide [S, C] color
-    block (the one-hot contraction of 'hybrid'/'onehot', or 34 payload
-    lanes of 'sort'), sort ONLY the scalar lanes (depth, density, iota),
-    march to per-sample weights v in sorted order, and carry v back to the
-    ORIGINAL sample order with a second scalar sort keyed on the
-    permutation. Colors are then consumed UNSORTED by one streaming
-    weighted sum — no S x S one-hot matrix, no color transport at all.
-    Same math as unify_samples + march_rays (fp32 summation re-association
-    only; march semantics mirrored from ray_marcher.py / reference
-    MipRayMarcher2 `ray_marcher.py:25-57`)."""
+    `sample_merge='weights'` (method='sort'): the midpoint compositing of
+    `march_rays` is LINEAR in the sorted colors — rgb = sum_i
+    w_i (c_i + c_{i+1})/2 = sum_j v_j c_sorted[j] with the 2-tap stencil
+    v_j = (w_{j-1} + w_j)/2 (w_{-1} = w_{S-1} = 0). So instead of permuting
+    the wide [S, C] color block (the one-hot contraction of
+    'hybrid'/'onehot', or 34 payload lanes of 'sort'), sort ONLY the scalar
+    lanes (depth, density, iota), march to per-sample weights v in sorted
+    order, and carry v back to the ORIGINAL sample order with a second
+    scalar sort keyed on the permutation. Colors are then consumed UNSORTED
+    by one streaming weighted sum — no S x S one-hot matrix, no color
+    transport at all. Same math as unify_samples + march_rays (fp32
+    summation re-association only; march semantics mirrored from
+    ray_marcher.py / reference MipRayMarcher2 `ray_marcher.py:25-57`).
+
+    `sample_merge='ranks'` (method='count'): same algebra, but the sort
+    network is replaced by STABLE RANKS from a comparison-count matrix
+    (the same trick that beats vmapped searchsorted ~5x on the TPU VPU,
+    cf. importance.py:110): rank_j = #{k : d_k < d_j or (d_k = d_j, k < j)}
+    matches lax.sort's stable order exactly, so the permutation matrix
+    one_hot(rank) transports depth/density into sorted order (2 fp32
+    HIGHEST lanes — exact: one nonzero per row) and the SAME matrix used
+    in the opposite direction carries the per-sample color weights v back
+    to original order. Zero lax.sort, zero color transport; the S x S
+    bool compare + two narrow permutation einsums are pure VPU/MXU work."""
     assert options.get("clamp_mode", "softplus") == "softplus", (
         "march_merged only supports clamp_mode='softplus'"
     )
@@ -471,9 +482,29 @@ def march_merged(depths1, colors1, densities1, depths2, colors2, densities2,
 
     key = all_depths[..., 0].astype(jnp.float32)  # [N, R, S]
     dens = all_densities[..., 0].astype(jnp.float32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, key.ndim - 1)
-    d_s, dens_s, perm = jax.lax.sort((key, dens, iota), dimension=-1,
-                                     num_keys=1)
+    if method == "count":
+        s = key.shape[-1]
+        dj = key[..., :, None]  # [N, R, S(j), 1]
+        dk = key[..., None, :]  # [N, R, 1, S(k)]
+        ltri = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1) < (
+            jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        )  # [S(j), S(k)]: k < j
+        cmp = (dk < dj) | ((dk == dj) & ltri)
+        rank = jnp.sum(cmp, axis=-1, dtype=jnp.int32)  # [N, R, S]
+        # Permutation matrix P[j, i] = 1 iff sorted position of j is i.
+        # fp32 transport is EXACT (single nonzero per row) but must run at
+        # HIGHEST: the TPU DEFAULT fp32 dot quantizes values to bf16-class.
+        oh = jax.nn.one_hot(rank, s, dtype=jnp.float32)
+        scal = jnp.stack([key, dens], axis=-1)  # [N, R, S, 2]
+        sorted_scal = jnp.einsum(
+            "nrji,nrjc->nric", oh, scal,
+            precision=jax.lax.Precision.HIGHEST)
+        d_s, dens_s = sorted_scal[..., 0], sorted_scal[..., 1]
+        perm = None
+    else:
+        iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, key.ndim - 1)
+        d_s, dens_s, perm = jax.lax.sort((key, dens, iota), dimension=-1,
+                                         num_keys=1)
 
     # march_rays on the sorted scalar lanes (fp32, see ray_marcher.py).
     deltas = d_s[..., 1:] - d_s[..., :-1]
@@ -488,7 +519,13 @@ def march_merged(depths1, colors1, densities1, depths2, colors2, densities2,
     zero = jnp.zeros_like(w[..., :1])
     v = (jnp.concatenate([zero, w], axis=-1)
          + jnp.concatenate([w, zero], axis=-1)) / 2  # [N, R, S]
-    _, v_un = jax.lax.sort((perm, v), dimension=-1, num_keys=1)
+    if method == "count":
+        # v_un[j] = v[rank_j]: the same permutation matrix, applied in the
+        # sorted->original direction.
+        v_un = jnp.einsum("nrji,nri->nrj", oh, v,
+                          precision=jax.lax.Precision.HIGHEST)
+    else:
+        _, v_un = jax.lax.sort((perm, v), dimension=-1, num_keys=1)
 
     composite_rgb = jnp.sum(
         v_un[..., None] * all_colors.astype(jnp.float32), axis=-2)
@@ -582,10 +619,11 @@ def render_rays(
         depths_fine = sample_importance(keys[2], depths_coarse, weights, n_imp)
         colors_fine, densities_fine = eval_points(depths_fine, keys[3])
         merge = options.get("sample_merge", "hybrid")
-        if merge == "weights":
+        if merge in ("weights", "ranks"):
             rgb_final, depth_final, weights = march_merged(
                 depths_coarse, colors_coarse, densities_coarse,
-                depths_fine, colors_fine, densities_fine, options
+                depths_fine, colors_fine, densities_fine, options,
+                method="count" if merge == "ranks" else "sort",
             )
         else:
             all_depths, all_colors, all_densities = unify_samples(

@@ -373,6 +373,31 @@ def test_march_merged_matches_unify_plus_march():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_march_merged_count_matches_sort_exactly():
+    """method='count' (cmp-count stable ranks + permutation einsums) must
+    be BIT-IDENTICAL to method='sort': one_hot(rank) fp32-HIGHEST transport
+    is exact, and the stable rank (ties broken by original index) matches
+    lax.sort's stable order — exercised with deliberate duplicate depths
+    across the coarse/fine boundary."""
+    rng = np.random.RandomState(23)
+    opts = {"clamp_mode": "softplus", "white_back": False}
+    args = []
+    for s in (7, 6):
+        args += [np.sort(rng.rand(2, 3, s, 1), axis=2).astype(np.float32),
+                 rng.rand(2, 3, s, 4).astype(np.float32),
+                 rng.rand(2, 3, s, 1).astype(np.float32)]
+    # Force ties: copy two coarse depths into the fine set.
+    args[3][:, :, 0, 0] = args[0][:, :, 2, 0]
+    args[3][:, :, 3, 0] = args[0][:, :, 5, 0]
+    args[3].sort(axis=2)
+    j = [jnp.asarray(a) for a in args]
+
+    want = march_merged(*j, opts, method="sort")
+    got = march_merged(*j, opts, method="count")
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
 def test_render_rays_weights_merge_matches_hybrid():
     """End-to-end render_rays with sample_merge='weights' must match the
     default hybrid merge path at fp32 tolerance."""
@@ -393,10 +418,12 @@ def test_render_rays_weights_merge_matches_hybrid():
                 "sigma": m.sum(-1, keepdims=True)}
 
     rgb1, d1, w1 = render_rays(planes, dec, o, d, dict(base, sample_merge="hybrid"))
-    rgb2, d2, w2 = render_rays(planes, dec, o, d, dict(base, sample_merge="weights"))
-    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb1),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
-                               rtol=1e-5, atol=1e-6)
+    for merge in ("weights", "ranks"):
+        rgb2, d2, w2 = render_rays(
+            planes, dec, o, d, dict(base, sample_merge=merge))
+        np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
+                                   rtol=1e-5, atol=1e-6)

@@ -106,7 +106,11 @@ def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
     lane-shuffle VPU work and sub-128 minor-dim temps; measured on v5e
     (r3, 15-frame batch, 8.85M rows/pass): 65.7 ms vs 84.5 ms per pass.
     combine='lanes': per-corner [*, C] slices + weighted VPU sum (r1/r2
-    formulation, kept for A/B)."""
+    formulation, kept for A/B).
+    combine='mxu_barrier': 'mxu' with an optimization_barrier on the
+    gathered rows — keeps XLA from fusing the weight-multiply chain into
+    the gather's consumer. Probe for the measured in-program gather rate
+    gap (6.8 ns/row fused vs 2.9 isolated, r3)."""
     N = coordinates.shape[0]
     n_planes, C = 3, packed.c
     H, W, ky, kx = packed.h, packed.w, packed.ky, packed.kx
@@ -163,6 +167,9 @@ def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
     w10 = (1 - wx) * wy * mask(x0, y0 + 1)
     w11 = wx * wy * mask(x0 + 1, y0 + 1)
 
+    if combine == "mxu_barrier":
+        gathered = jax.lax.optimization_barrier(gathered)
+        combine = "mxu"
     if combine == "mxu":
         cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # [N, 3, M, 4]
         wexp = jnp.broadcast_to(

@@ -45,6 +45,12 @@ def test_packed_combine_mxu_matches_lanes():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-6, atol=1e-6)
 
+    # 'mxu_barrier' is 'mxu' plus an optimization_barrier on the gathered
+    # rows — identical math, bitwise-equal result.
+    ab = sample_packed_planes(pack_planes(planes32), pts, box_warp=1.0,
+                              combine="mxu_barrier")
+    np.testing.assert_array_equal(np.asarray(ab), np.asarray(a))
+
     packed16 = pack_planes(planes32.astype(jnp.bfloat16))
     a16 = sample_packed_planes(packed16, pts, box_warp=1.0, combine="mxu")
     b16 = sample_packed_planes(packed16, pts, box_warp=1.0, combine="lanes")

@@ -136,6 +136,9 @@ def main():
     mm = jax.jit(lambda *a: R.march_merged(*a, opts))
     results["merge_march_weights_ms"] = timeit(
         mm, depths, colors, sigmas, fine, colors, sigmas) * 1e3
+    mmr = jax.jit(lambda *a: R.march_merged(*a, opts, method="count"))
+    results["merge_march_ranks_ms"] = timeit(
+        mmr, depths, colors, sigmas, fine, colors, sigmas) * 1e3
 
     # March at the merged S=2*48 length (the production final march; the
     # march_ms row above is the S=48 coarse-pass one).
@@ -165,18 +168,28 @@ def main():
     results["evalchain_ptsgen_ms"] = timeit(
         jax.jit(eval_chain), packed, o, d, depths) * 1e3
 
-    def _decode_closure():
+    def _decode_closure(rows_path=False):
+        # Production render_planes attaches rows_fn only when the opt-in
+        # decoder_rows_path flag is set (it measured a LOSS on v5e); the
+        # volumetric ablation rows must match the production dispatch.
         def decode(f, di):
             return g.decoder.apply(params["decoder"], f, di)
 
-        decode.rows_fn = lambda r, shape: g.decoder.apply_rows(
-            params["decoder"], r, shape)
+        if rows_path:
+            decode.rows_fn = lambda r, shape: g.decoder.apply_rows(
+                params["decoder"], r, shape)
         return decode
 
     full_vol = jax.jit(
         lambda pk, oo, dd: R.render_rays(pk, _decode_closure(),
                                          oo, dd, opts, rng=None))
     results["volumetric_total_ms"] = timeit(full_vol, packed, o, d) * 1e3
+
+    full_vol_rows = jax.jit(
+        lambda pk, oo, dd: R.render_rays(pk, _decode_closure(rows_path=True),
+                                         oo, dd, opts, rng=None))
+    results["volumetric_rows_path_ms"] = timeit(
+        full_vol_rows, packed, o, d) * 1e3
 
     opts_h = dict(opts, sample_merge="hybrid")
     full_vol_h = jax.jit(
@@ -189,6 +202,21 @@ def main():
         lambda pk, oo, dd: R.render_rays(pk, _decode_closure(),
                                          oo, dd, opts_w, rng=None))
     results["volumetric_weights_ms"] = timeit(full_vol_w, packed, o, d) * 1e3
+
+    opts_r = dict(opts, sample_merge="ranks")
+    full_vol_r = jax.jit(
+        lambda pk, oo, dd: R.render_rays(pk, _decode_closure(),
+                                         oo, dd, opts_r, rng=None))
+    results["volumetric_ranks_ms"] = timeit(full_vol_r, packed, o, d) * 1e3
+
+    # 'mxu_barrier' combine: gather split from its consumer fusion (probes
+    # the in-program vs isolated gather-rate gap).
+    opts_b = dict(opts, packed_combine="mxu_barrier")
+    full_vol_b = jax.jit(
+        lambda pk, oo, dd: R.render_rays(pk, _decode_closure(),
+                                         oo, dd, opts_b, rng=None))
+    results["volumetric_mxu_barrier_ms"] = timeit(
+        full_vol_b, packed, o, d) * 1e3
 
     # Coarse-only ablation (no importance pass): one gather+decode+march.
     opts_c = dict(opts, depth_resolution_importance=0)

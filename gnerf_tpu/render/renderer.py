@@ -570,10 +570,27 @@ def render_rays(
 
     Returns:
       (features [N, R, C_out], depth [N, R, 1], weight_sum [N, R, 1]).
+
+    Sequence-parallel option: `options['ray_sharding']` may hold a
+    `jax.sharding.NamedSharding` for the [N, R, 3] ray tensors (e.g.
+    P('data', 'rays', None) over a 2-D mesh). The constraint is applied to
+    the ray origins/directions and XLA propagates it through every per-ray
+    intermediate (points, gathered features, compositing), sharding the
+    render over the 'rays' axis even when the rays are COMPUTED inside the
+    enclosing jit (training / synthesis), where input shardings cannot
+    reach them. Pass it per-call (`rendering_kwargs={'ray_sharding': ...}`)
+    — a device-topology object must not be stored in the serialized
+    rendering config.
     """
     keys = (
         jax.random.split(rng, 4) if rng is not None else (None, None, None, None)
     )
+
+    ray_sharding = options.get("ray_sharding")
+    if ray_sharding is not None:
+        ray_origins = jax.lax.with_sharding_constraint(ray_origins, ray_sharding)
+        ray_directions = jax.lax.with_sharding_constraint(
+            ray_directions, ray_sharding)
 
     if options["ray_start"] == options["ray_end"] == "auto":
         ray_start, ray_end = math_utils.get_ray_limits_box(

@@ -313,6 +313,7 @@ def run_training(
     aug: str = "noaug",
     aug_p: float = 0.0,
     ada_target: float = 0.6,
+    ray_shards: int = 1,
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -400,6 +401,7 @@ def run_training(
             for k, v in rendering_kwargs.items()
         },
         "num_devices": len(jax.devices()),
+        "ray_shards": ray_shards,
         "lpips_pretrained": lpips_pretrained,
         "aug": {"mode": aug, "p0": aug_p, "ada_target": ada_target},
         # Which train/held-out partition rule produced this run's data: eval
@@ -447,8 +449,20 @@ def run_training(
     # the full batch — behavior unchanged.
     assert batch % world == 0, f"batch {batch} not divisible by {world} hosts"
 
-    # Mesh + shardings: batch over 'data', params replicated.
-    mesh = make_mesh()
+    # Mesh + shardings: batch over 'data', params replicated. With
+    # --ray_shards > 1 the mesh gains a 'rays' axis and the in-step render
+    # shards every per-ray intermediate over it (DP x SP) via a
+    # with_sharding_constraint inside the step — the sharding object itself
+    # stays out of the serialized config (see make_train_step).
+    n_dev = len(jax.devices())
+    assert n_dev % ray_shards == 0, (
+        f"--ray_shards {ray_shards} must divide device count {n_dev}")
+    mesh = make_mesh(data=n_dev // ray_shards, rays=ray_shards)
+    rendering_overrides = None
+    if ray_shards > 1:
+        rendering_overrides = {
+            "ray_sharding": NamedSharding(mesh, P("data", "rays", None))
+        }
     repl = NamedSharding(mesh, P())
 
     state = init_train_state(g, enc, disc, vgg, cfg, jax.random.PRNGKey(seed))
@@ -476,7 +490,8 @@ def run_training(
                 params_d=ckpt_lib.copy_params(trees["D"], state.params_d))
 
     opt_g, opt_d = make_optimizers(g, state.params_e, state.params_g, cfg)
-    train_step = make_train_step(g, enc, disc, vgg, opt_g, opt_d, cfg)
+    train_step = make_train_step(g, enc, disc, vgg, opt_g, opt_d, cfg,
+                                 rendering_overrides=rendering_overrides)
 
     # The sampler is seeded from the resume position so a resumed run walks
     # a FRESH shuffle order instead of replaying the order from step 0
@@ -683,6 +698,9 @@ def run_training(
                    "the r_t-feedback p controller; fixed = constant p")
 @click.option("--aug_p", type=float, default=0.0,
               help="initial (ada) / constant (fixed) augmentation p")
+@click.option("--ray_shards", type=int, default=1,
+              help="Shard the in-step render's ray axis over this many "
+                   "devices (mesh becomes (data=N/ray_shards, rays=ray_shards))")
 @click.option("--ada_target", type=float, default=0.6,
               help="ADA controller target for E[sign(D(real))]")
 def main(**kwargs):

@@ -126,8 +126,15 @@ def make_train_step(
     opt_g,
     opt_d,
     cfg: TrainConfig,
+    rendering_overrides: Optional[dict] = None,
 ) -> Callable:
-    """Build the pure train-step function (jit/pjit it at the call site)."""
+    """Build the pure train-step function (jit/pjit it at the call site).
+
+    `rendering_overrides` holds per-process render options that must never
+    enter the serialized config — e.g. `{'ray_sharding': NamedSharding(...)}`
+    to shard every per-ray intermediate of the in-step render over a 2-D
+    (data, rays) mesh (DP x SP; the reference's only strategy is DP,
+    `training_loop.py:388-437`)."""
     res = cfg.neural_rendering_resolution
 
     if cfg.remat_lpips:
@@ -164,6 +171,7 @@ def make_train_step(
             return g.synthesis(
                 params_g_, ws_, c_, neural_rendering_resolution=res,
                 noise_mode="random", rng=key_, dtype=cfg.dtype,
+                rendering_kwargs=rendering_overrides,
             )
 
         if cfg.remat_synthesis:

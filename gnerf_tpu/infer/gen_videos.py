@@ -100,6 +100,7 @@ def generate_videos(
     truncation_psi: float = 1.0,
     fp32: bool = False,
     label_path: Optional[str] = None,
+    ray_shards: int = 1,
 ):
     from ..models import ResNeXt50Encoder, TriPlaneGenerator
     from ..utils import checkpoint as ckpt
@@ -149,11 +150,11 @@ def generate_videos(
 
     # Render a CHUNK of frames per program and convert to uint8 in-graph —
     # one device round trip per chunk instead of per frame.
-    def _one_frame(params_g, planes, ws, c):
+    def _one_frame(params_g, planes, ws, c, rendering_kwargs=None):
         out = g.render_planes(
             params_g, planes, jnp.tile(c[None], (n_ids, 1)), ws,
             neural_rendering_resolution=res, noise_mode="const",
-            dtype=compute_dtype,
+            dtype=compute_dtype, rendering_kwargs=rendering_kwargs,
         )
 
         def u8(img):
@@ -169,19 +170,33 @@ def generate_videos(
         # the chunk's frame axis over 'data' with planes/ws/params
         # replicated — each chip renders chunk/n_dev frames of the SAME
         # identity. vmap (not lax.map) so the frame axis is a real batched
-        # dim pjit can partition.
+        # dim pjit can partition. With --ray_shards > 1 the mesh gains a
+        # 'rays' axis and each frame's per-ray intermediates shard over it
+        # (frames x rays 2-D inference mesh — lower per-frame latency when
+        # there are more chips than frames in flight); the in-frame ray
+        # constraint composes with the frame axis via vmap's
+        # spmd_axis_name.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel import make_mesh
 
-        mesh = make_mesh()
+        rays_ax = max(1, min(ray_shards, n_dev))
+        assert n_dev % rays_ax == 0, (
+            f"--ray_shards {rays_ax} must divide device count {n_dev}")
+        data_ax = n_dev // rays_ax
+        mesh = make_mesh(data=data_ax, rays=rays_ax)
         repl = NamedSharding(mesh, P())
         fsh = NamedSharding(mesh, P("data", None))
         osh = NamedSharding(mesh, P("data", None, None, None, None))
-        chunk = max(1, math.ceil(min(8, frames) / n_dev)) * n_dev
+        rk_call = (
+            {"ray_sharding": NamedSharding(mesh, P(None, "rays", None))}
+            if rays_ax > 1 else None
+        )
+        chunk = max(1, math.ceil(min(8, frames) / data_ax)) * data_ax
         render_chunk = jax.jit(
             lambda p, pl, w, cs: jax.vmap(
-                lambda c: _one_frame(p, pl, w, c))(cs),
+                lambda c: _one_frame(p, pl, w, c, rk_call),
+                spmd_axis_name="data" if rays_ax > 1 else None)(cs),
             in_shardings=(repl, repl, repl, fsh),
             out_shardings=(osh, osh),
         )
@@ -268,6 +283,9 @@ def generate_videos(
               help="Full fp32 compute (default: bf16 backbone/SR)")
 @click.option("--label_path", default=None,
               help="JSON of 25-dim camera labels to render instead of the orbit")
+@click.option("--ray_shards", type=int, default=1,
+              help="Shard each frame's ray axis over this many devices "
+                   "(2-D frames x rays inference mesh)")
 def main(**kwargs):
     generate_videos(**kwargs)
 

@@ -90,3 +90,61 @@ def test_mjpeg_avi_writer_container(tmp_path):
     size = struct.unpack("<I", blob[j + 4:j + 8])[0]
     img = Image.open(io.BytesIO(blob[j + 8:j + 8 + size]))
     assert img.size == (48, 32)
+
+
+@pytest.mark.slow
+def test_generate_videos_e2e_tiny_mesh_ray_shards(tmp_path):
+    """Drive the full generate_videos() production path — checkpoint load,
+    identity encode, mesh orbit with the 2-D frames x rays sharding
+    (--ray_shards), chunk padding, video writing — on the 8-device CPU mesh
+    with a tiny model, and check the frames match a ray_shards=1 run."""
+    import jax
+
+    from gnerf_tpu.infer.gen_videos import generate_videos
+    from gnerf_tpu.models import ResNeXt50Encoder, TriPlaneGenerator
+    from gnerf_tpu.utils import checkpoint as ckpt
+
+    gen_cfg = dict(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=8,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    g = TriPlaneGenerator(**gen_cfg)
+    enc = ResNeXt50Encoder(out_dim=g.z_dim)
+    params_g = g.init(jax.random.PRNGKey(0))
+    params_e, state_e = enc.init(jax.random.PRNGKey(1))
+    net = str(tmp_path / "tiny.npz")
+    ckpt.save_checkpoint(
+        net, {"G_ema": params_g, "E": params_e, "E_state": state_e},
+        config={"generator": gen_cfg},
+    )
+
+    def run(sub, ray_shards):
+        out = str(tmp_path / sub)
+        generate_videos(
+            network=net, video_out_path=out, outdir=out, res=8, frames=4,
+            fp32=True, ray_shards=ray_shards,
+        )
+        return out
+
+    out_sp = run("sp", ray_shards=4)   # (data=2, rays=4) mesh
+    out_dp = run("dp", ray_shards=1)   # (data=8,) mesh — the r2 path
+
+    def read_frames(d):
+        vids = sorted(
+            os.path.join(root, f)
+            for root, _, fs in os.walk(d) for f in fs
+        )
+        assert vids, f"no video output under {d}"
+        return [open(v, "rb").read() for v in vids]
+
+    # Both runs write the same artifacts; fp32 + const noise makes the
+    # pipelines deterministic, and the ray sharding must not change pixels
+    # (allow JPEG-container bytes to differ only if encoders did — they
+    # don't: same pixels -> same bytes).
+    assert read_frames(out_sp) == read_frames(out_dp)

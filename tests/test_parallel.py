@@ -244,6 +244,28 @@ def test_orbit_frames_sharded_matches_single_device():
     np.testing.assert_allclose(np.asarray(got_raw), np.asarray(want_raw),
                                rtol=1e-4, atol=1e-4)
 
+    # 2-D frames x rays inference mesh (gen_videos --ray_shards): the
+    # in-frame ray constraint composes with the frame axis via vmap's
+    # spmd_axis_name — results must still match the single-device frames.
+    mesh2 = make_mesh(data=2, rays=4, devices=jax.devices()[:8])
+    rk2 = {"ray_sharding": NamedSharding(mesh2, P(None, "rays", None))}
+
+    def one_sp(c):
+        out = g.render_planes(params, planes, c[None], ws,
+                              neural_rendering_resolution=8,
+                              noise_mode="const", rendering_kwargs=rk2)
+        return out["image"], out["image_raw"]
+
+    fsh2 = NamedSharding(mesh2, P("data", None))
+    osh2 = NamedSharding(mesh2, P("data", None, None, None, None))
+    f2 = jax.jit(lambda cs: jax.vmap(one_sp, spmd_axis_name="data")(cs),
+                 in_shardings=(fsh2,), out_shardings=(osh2, osh2))
+    got_img2, got_raw2 = f2(jax.device_put(labels, fsh2))
+    np.testing.assert_allclose(np.asarray(got_img2), np.asarray(want_img),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_raw2), np.asarray(want_raw),
+                               rtol=1e-4, atol=1e-4)
+
 
 def test_multihost_init_disabled_by_default(monkeypatch):
     """init_distributed is a no-op (returns False) without the flag/env —

@@ -180,7 +180,9 @@ def generate_videos(
 
         from ..parallel import make_mesh
 
-        rays_ax = max(1, min(ray_shards, n_dev))
+        rays_ax = max(1, ray_shards)
+        # Same contract as train.py's --ray_shards: refuse rather than
+        # silently clamp — a clamped layout invalidates perf conclusions.
         assert n_dev % rays_ax == 0, (
             f"--ray_shards {rays_ax} must divide device count {n_dev}")
         data_ax = n_dev // rays_ax
@@ -204,6 +206,8 @@ def generate_videos(
         planes = jax.device_put(planes, repl)
         ws = jax.device_put(ws, repl)
     else:
+        if ray_shards > 1:
+            print(f"--ray_shards {ray_shards} ignored: single device attached")
         chunk = max(1, min(8, frames))
         render_chunk = jax.jit(
             lambda p, pl, w, cs: jax.lax.map(

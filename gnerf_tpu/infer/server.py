@@ -96,6 +96,8 @@ class MicroBatcher:
         self.thread.start()
 
     def submit(self, item):
+        if self._stop:
+            raise ServiceOverloaded("service shut down")
         slot = _Slot()
         try:
             self.queue.put_nowait((item, slot))
@@ -103,7 +105,14 @@ class MicroBatcher:
             raise ServiceOverloaded(
                 f"request queue full ({self.queue.maxsize}); retry later"
             ) from None
-        slot.event.wait()
+        # Timed wait: a submit racing close() can enqueue AFTER the shutdown
+        # drain swept the queue, and the collector thread can die on a
+        # re-raised SystemExit/KeyboardInterrupt — in either case no one
+        # will ever set this slot's event, so poll the liveness conditions
+        # instead of blocking forever.
+        while not slot.event.wait(timeout=0.5):
+            if self._stop or not self.thread.is_alive():
+                raise ServiceOverloaded("service shut down")
         if slot.error is not None:
             raise slot.error
         return slot.result

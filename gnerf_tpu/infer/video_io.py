@@ -105,7 +105,10 @@ class MJPEGWriter:
         if blob and self.path is not None:
             with open(self.path, "wb") as fh:
                 fh.write(blob)
+        # Reset _size too: a defensive second close() must be a no-op, not
+        # rebuild a 0-frame AVI over the file just written.
         self._frames = []
+        self._size = None
 
 
 class VideoWriter:

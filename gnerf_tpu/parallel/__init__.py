@@ -13,6 +13,7 @@ from .mesh import (
 )
 from .sharding import (
     batch_spec,
+    put_global_batch,
     put_replicated,
     put_sharded,
     ray_spec,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, RAY_AXIS, replicated
@@ -25,6 +26,22 @@ def put_replicated(tree: Any, mesh: Mesh) -> Any:
 def put_sharded(tree: Any, mesh: Mesh, spec: P) -> Any:
     sh = NamedSharding(mesh, spec)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def put_global_batch(value: Any, sharding: NamedSharding, world: int) -> jax.Array:
+    """Place one host's batch array under a (possibly multi-host) sharding.
+
+    Single-host: plain device_put. Multi-host: each host's data iterator
+    yields its batch//world shard; assemble the global array from the
+    process-local pieces via make_array_from_process_local_data — plain
+    device_put of host-local data to shardings spanning non-addressable
+    devices is not portable across JAX versions. (The analog of the
+    reference's per-rank batch split, `train.py:273`.)"""
+    import numpy as np
+
+    if world == 1:
+        return jax.device_put(jnp.asarray(value), sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(value))
 
 
 def sharded_jit(

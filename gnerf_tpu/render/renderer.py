@@ -92,6 +92,17 @@ def pack_planes(plane_features: jax.Array) -> PackedPlanes:
     return PackedPlanes(rows.reshape(-1, 4 * C), N, C, H, W)
 
 
+def _expand_corner_weights(cw: jax.Array, C: int) -> jax.Array:
+    """[..., 4] per-corner weights -> [R, 4*C] lane-expanded multiplier.
+
+    Broadcast, NOT jnp.repeat — repeat lowers to a gather that stalls
+    fusion with the row-gather consumer (measured r2; both packed-sampling
+    paths must keep this exact formulation)."""
+    return jnp.broadcast_to(
+        cw.reshape(-1, 4)[:, :, None], (cw.size // 4, 4, C)
+    ).reshape(-1, 4 * C)
+
+
 def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
                          box_warp: float, combine: str = "mxu") -> jax.Array:
     """Bilinear tri-plane sampling from PackedPlanes: one row-gather total.
@@ -172,9 +183,7 @@ def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
         combine = "mxu"
     if combine == "mxu":
         cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # [N, 3, M, 4]
-        wexp = jnp.broadcast_to(
-            cw.reshape(-1, 4)[:, :, None], (cw.size // 4, 4, C)
-        ).reshape(-1, 4 * C)
+        wexp = _expand_corner_weights(cw, C)
         sel = jnp.asarray(
             np.kron(np.ones((4, 1)), np.eye(C)), dtype=dtype)  # [4C, C]
         # dot_precision: fp32 planes must contract at HIGHEST (the TPU
@@ -183,7 +192,7 @@ def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
         out = jnp.dot(gathered * wexp, sel,
                       precision=dot_precision(dtype),
                       preferred_element_type=jnp.float32).astype(dtype)
-    else:
+    elif combine == "lanes":
         def wcol(w):
             return w.reshape(-1, 1)
 
@@ -191,6 +200,11 @@ def sample_packed_planes(packed: PackedPlanes, coordinates: jax.Array,
                + gathered[:, 1 * C : 2 * C] * wcol(w01)
                + gathered[:, 2 * C : 3 * C] * wcol(w10)
                + gathered[:, 3 * C : 4 * C] * wcol(w11))
+    else:
+        # A typo'd option must not silently fall through to the ~19 ms/pass
+        # slower lane-slice path and poison A/B ablations.
+        raise ValueError(f"unknown packed combine mode {combine!r} "
+                         "(expected 'mxu', 'mxu_barrier' or 'lanes')")
     return out.reshape(N, n_planes, M, C)
 
 
@@ -251,13 +265,8 @@ def sample_packed_rows(packed: PackedPlanes, coordinates: jax.Array,
     w10 = (1 - wx) * wy * mask(x0, y0 + 1)
     w11 = wx * wy * mask(x0 + 1, y0 + 1)
     cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # [N, M, 3, 4]
-    # Expand weights over channels (broadcast, NOT jnp.repeat — repeat
-    # lowers to a gather that stalls fusion with the row-gather consumer)
-    # and apply; XLA fuses the elementwise chain into a single pass.
-    wexp = jnp.broadcast_to(
-        cw.reshape(-1, 4)[:, :, None], (cw.size // 4, 4, C)
-    ).reshape(-1, 4 * C)
-    weighted = gathered * wexp
+    # XLA fuses the elementwise weighting chain into a single pass.
+    weighted = gathered * _expand_corner_weights(cw, C)
     return weighted.reshape(N * M, n_planes * 4 * C)
 
 

@@ -76,12 +76,18 @@ def save_image_grid(images: np.ndarray, path: str, drange=(-1, 1),
     Image.fromarray(img).save(path)
 
 
-def make_validator(g, enc, cfg, vgg=None):
+def make_validator(g, enc, cfg, vgg=None, lpips_pretrained=True):
     """Validation SSIM (gates the best-checkpoint snapshot, reference
     `training_loop.py:474-529`) plus PSNR and a VGG-feature perceptual
-    distance, so the quality-gate run logs a full curve set per tick."""
+    distance, so the quality-gate run logs a full curve set per tick.
+    The perceptual metric is only computed when `lpips_pretrained` — a
+    random-VGG distance would log a curve indistinguishable from a real
+    perceptual metric (the loss path's fallback is loud; this one must
+    not be silent)."""
     from .losses import lpips_distance, ssim as ssim_fn
     from .metrics import psnr as psnr_fn
+
+    vgg = vgg if lpips_pretrained else None
 
     @jax.jit
     def validate_batch(params_e, state_e, params_g, params_vgg, batch):
@@ -114,7 +120,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..models.dual_discriminator import DualDiscriminator
-    from ..parallel import make_mesh
+    from ..parallel import make_mesh, put_global_batch
     from ..utils.stats import Collector
     from .dataset import FFHQGenDataset, SyntheticDataset, data_iterator
     from .eg3d_loss import EG3DLossConfig, init_eg3d_state, make_eg3d_train_step
@@ -166,14 +172,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
     state = jax.device_put(state, repl)
 
     def put_batch(v, sh):
-        # Single-host: plain device_put. Multi-host: each host's iterator
-        # yields its batch//world shard; assemble the global array from the
-        # process-local pieces (mirrors the gnerf objective's path — plain
-        # device_put of host-local data to shardings spanning non-addressable
-        # devices is not portable across JAX versions).
-        if world == 1:
-            return jax.device_put(jnp.asarray(v), sh)
-        return jax.make_array_from_process_local_data(sh, np.asarray(v))
+        return put_global_batch(v, sh, world)
     # One compiled program per blur-kernel extent: the D warm-up blur fades
     # over blur_fade_kimg, so the static FIR size steps through a small,
     # bounded set of buckets (eg3d_loss.blur_kernel_size). sigma itself is
@@ -317,7 +316,12 @@ def run_training(
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
-    from ..parallel import init_distributed, make_mesh, process_info
+    from ..parallel import (
+        init_distributed,
+        make_mesh,
+        process_info,
+        put_global_batch,
+    )
     from ..utils import checkpoint as ckpt_lib
     from ..utils.stats import Collector
     from .dataset import (
@@ -509,17 +513,14 @@ def run_training(
     }
 
     def put_batch(v, sh):
-        # Single-host: plain device_put. Multi-host: assemble the global
-        # batch from per-process shards (each host's iterator yields its
-        # batch//world slice).
-        if world == 1:
-            return jax.device_put(jnp.asarray(v), sh)
-        return jax.make_array_from_process_local_data(sh, np.asarray(v))
+        return put_global_batch(v, sh, world)
+
     step = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
                    out_shardings=(repl, repl), donate_argnums=(0,))
 
     # Validation + snapshots.
-    validate_batch = make_validator(g, enc, cfg, vgg=vgg)
+    validate_batch = make_validator(g, enc, cfg, vgg=vgg,
+                                    lpips_pretrained=lpips_pretrained)
     val_items = [dataset[i] for i in range(min(4, len(dataset)))]
     from .dataset import collate
 
@@ -593,8 +594,10 @@ def run_training(
             val_ssim, val_psnr, val_lpips = (
                 float(val_ssim), float(val_psnr), float(val_lpips))
             val_metrics = {"Metrics/val_ssim": val_ssim,
-                           "Metrics/val_psnr": val_psnr,
-                           "Metrics/val_lpips": val_lpips}
+                           "Metrics/val_psnr": val_psnr}
+            if lpips_pretrained:
+                # Never log a random-VGG "perceptual" curve.
+                val_metrics["Metrics/val_lpips"] = val_lpips
             if rank == 0:
                 print(f"tick {tick_idx:<5d} kimg {cur_nimg / 1000:<8.1f} "
                       f"sec/tick {now - tick_start:<7.1f} val_ssim {val_ssim:.4f} "

@@ -39,6 +39,37 @@ def trace(run_dir: str):
         jax.profiler.stop_trace()
 
 
+def scalar_fence(x) -> float:
+    """Force completion of a computation by fetching a scalar reduction.
+
+    Through the axon dev relay `block_until_ready` is NOT a reliable
+    barrier (CLAUDE.md); summing every leaf to one host float is. Returns
+    the float so callers can also use it as a cheap checksum."""
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
+
+
+def timed_median(fn, *args, reps: int = 3, warmup: int = 1) -> float:
+    """Median wall seconds of fn(*args), scalar-fenced (see scalar_fence).
+
+    THE timing recipe for every profiler in tools/ — one implementation so
+    BASELINE.md rows stay cross-tool comparable. NB: isolated calls carry
+    ~30 ms relay dispatch overhead; prefer config ablation of the full
+    program for sub-stage attribution (CLAUDE.md)."""
+    import numpy as np
+
+    for _ in range(warmup):
+        scalar_fence(fn(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        scalar_fence(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
 class StepTimer:
     """sec/tick + sec/kimg status-line bookkeeping (the reference's
     training_loop status fields)."""

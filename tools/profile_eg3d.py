@@ -22,15 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timed(fn, *args, reps=3):
-    for _ in range(1):
-        float(fn(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+from gnerf_tpu.utils.profiling import timed_median as timed
 
 
 def main():

@@ -24,19 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def fence(x):
-    leaves = jax.tree_util.tree_leaves(x)
-    return float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
+from gnerf_tpu.utils.profiling import scalar_fence as fence
 
 
 def timeit(fn, *args, reps=5):
-    fence(fn(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fence(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    from gnerf_tpu.utils.profiling import timed_median
+
+    return timed_median(fn, *args, reps=reps)
 
 
 def main():

@@ -35,18 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timed(fn, *args, reps=3, warmup=1):
-    """Median wall time of fn(*args) fenced by a scalar fetch."""
-    import jax.numpy as jnp
-
-    for _ in range(warmup):
-        float(fn(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+from gnerf_tpu.utils.profiling import timed_median as timed
 
 
 def grad_norm(tree):

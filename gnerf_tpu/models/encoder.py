@@ -174,8 +174,14 @@ class ResNeXt50Encoder:
         images: jax.Array,  # [N, 3, H, W] in [-1, 1]
         train: bool = False,
         axis_name: Optional[str] = None,
+        stages: Optional[int] = None,
     ) -> tuple[jax.Array, State]:
-        """Returns (z [N, out_dim], new_state)."""
+        """Returns (z [N, out_dim], new_state).
+
+        `stages` (0..4) early-exits with the [N, C, H', W'] feature map
+        after the stem (+ that many residual stages) instead of the latent
+        — a feature tap for per-stage cost attribution
+        (tools/profile_train.py) and perceptual-feature consumers."""
         new_state: State = {}
         x = _conv(images, params["conv1"], stride=2, padding=3)
         x, new_state["bn1"] = _bn_apply(params["bn1"], state["bn1"], x, train, axis_name)
@@ -185,6 +191,8 @@ class ResNeXt50Encoder:
             x, -jnp.inf, lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
             ((0, 0), (0, 0), (1, 1), (1, 1)),
         )
+        if stages == 0:
+            return x, new_state
         for stage, (planes, blocks) in enumerate(zip(self._planes, self.layers)):
             stride = 1 if stage == 0 else 2
             for b in range(blocks):
@@ -193,6 +201,8 @@ class ResNeXt50Encoder:
                     params[key], state[key], x, planes,
                     stride if b == 0 else 1, train, axis_name,
                 )
+            if stages is not None and stages == stage + 1:
+                return x, new_state
         # Adaptive average pool to 2x2 (torch AdaptiveAvgPool2d semantics:
         # region i spans [floor(i*S/2), ceil((i+1)*S/2)) — works for any S).
         N, C, H, W = x.shape

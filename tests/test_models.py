@@ -271,3 +271,23 @@ def test_triplane_generator_tiny_end_to_end():
     o1 = g.render_planes(p, planes, c, ws, noise_mode="none")
     np.testing.assert_allclose(np.asarray(o1["image"]), np.asarray(out["image"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_stage_taps():
+    """`stages` early-exit returns the stem/stage feature maps with the
+    torchvision ResNeXt50 downsampling schedule (feature-tap API used by
+    the train profiler for per-stage cost attribution)."""
+    import jax
+
+    from gnerf_tpu.models import ResNeXt50Encoder
+
+    enc = ResNeXt50Encoder(out_dim=8)
+    params, state = enc.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 3, 64, 64))
+    want = {0: (2, 64, 16, 16), 1: (2, 256, 16, 16), 2: (2, 512, 8, 8),
+            3: (2, 1024, 4, 4), 4: (2, 2048, 2, 2)}
+    for k, shape in want.items():
+        feat, _ = enc.apply(params, state, x, train=False, stages=k)
+        assert feat.shape == shape, (k, feat.shape)
+    z, _ = enc.apply(params, state, x, train=False)
+    assert z.shape == (2, 8)

@@ -108,6 +108,33 @@ def main():
     results["e_fwd_bwd"] = timed(e_fb, state.params_e, state.state_e, id_images,
                                  reps=args.reps)
 
+    # Encoder attribution: cumulative fwd+bwd truncated after the stem and
+    # after each residual stage (differences = per-stage cost), plus the
+    # train=False ablation (running stats, no batch-moment sweeps) to bound
+    # the BatchNorm-statistics share of the BN-bound floor argument.
+    for k in range(5):
+        @jax.jit
+        def e_fb_k(params_e, state_e, x, k=k):
+            def f(p):
+                feat, _ = enc.apply(p, state_e, x, train=True, stages=k)
+                return jnp.sum(feat.astype(jnp.float32))
+
+            return grad_norm(jax.grad(f)(params_e))
+
+        results[f"e_fwd_bwd_stages{k}"] = timed(
+            e_fb_k, state.params_e, state.state_e, id_images, reps=args.reps)
+
+    @jax.jit
+    def e_fb_eval_bn(params_e, state_e, x):
+        def f(p):
+            z, _ = enc.apply(p, state_e, x, train=False)
+            return jnp.sum(z)
+
+        return grad_norm(jax.grad(f)(params_e))
+
+    results["e_fwd_bwd_running_bn"] = timed(
+        e_fb_eval_bn, state.params_e, state.state_e, id_images, reps=args.reps)
+
     # Shared activations for the stage boundaries (computed once, reused).
     z0, _ = enc.apply(state.params_e, state.state_e, id_images, train=False)
     ws0 = g.mapping(state.params_g, z0, loss_c)

@@ -177,6 +177,30 @@ def test_microbatcher_close_drains_queued_requests():
     assert sorted(k for k, _ in outcomes) == ["ok", "overloaded"]
 
 
+def test_microbatcher_submit_after_close_and_dead_collector():
+    """submit() must fail fast (503), never hang, when it races past the
+    shutdown drain or the collector thread has died."""
+    from gnerf_tpu.infer.server import MicroBatcher, ServiceOverloaded
+
+    mb = MicroBatcher(lambda items: list(items), batch_size=1, window_ms=0.0)
+    assert mb.submit(7) == 7
+    mb.close()
+    # Post-close submit: the drain has already swept the queue; the timed
+    # wait must bail out with ServiceOverloaded instead of blocking.
+    with pytest.raises(ServiceOverloaded):
+        mb.submit(8)
+
+    # Dead collector (simulates the BaseException re-raise path): _stop is
+    # False but the thread is gone — liveness polling must still 503.
+    mb2 = MicroBatcher(lambda items: list(items), batch_size=1, window_ms=0.0)
+    mb2._stop = True
+    mb2.thread.join(timeout=5)
+    assert not mb2.thread.is_alive()
+    mb2._stop = False
+    with pytest.raises(ServiceOverloaded):
+        mb2.submit(9)
+
+
 def test_http_api_end_to_end(tiny_service):
     from http.server import ThreadingHTTPServer
 

@@ -75,7 +75,17 @@ def held_out_partition(
 BatchDict = Mapping[str, np.ndarray]
 
 
-def _imread_rgb_chw(path: str) -> np.ndarray:
+def _imread_rgb_chw(path: str, resolution: Optional[int] = None) -> np.ndarray:
+    """File -> CHW uint8. With `resolution`, the decode goes through the
+    native C++ runtime (`native/gnerf_loader.cpp`, libjpeg/libpng + resize —
+    the TPU-side equivalent of the reference's cv2 DataLoader workers) with
+    a PIL fallback inside decode_image, and the size contract is ENFORCED
+    (a mismatched file is resized instead of crashing later at jit shape
+    time). Without `resolution`: plain PIL passthrough at file size."""
+    if resolution is not None:
+        from ..utils.native_loader import decode_image
+
+        return decode_image(path, resolution, resolution)
     from PIL import Image
 
     img = np.asarray(Image.open(path).convert("RGB"))
@@ -276,11 +286,11 @@ class FFHQGenDataset:
 
     def _load_gen(self, idx: int) -> dict:
         fname = self._gen_fnames[idx % len(self._gen_fnames)]
-        cond = _imread_rgb_chw(fname)
-        loss = _imread_rgb_chw(fname.replace("f.jpg", "s.jpg"))
+        cond = _imread_rgb_chw(fname, self.resolution)
+        loss = _imread_rgb_chw(fname.replace("f.jpg", "s.jpg"), self.resolution)
         flip = loss[:, :, ::-1].copy()
         rnd_idx = self._rnd.randint(len(self._gen_fnames))
-        rnd = _imread_rgb_chw(self._gen_fnames[rnd_idx])
+        rnd = _imread_rgb_chw(self._gen_fnames[rnd_idx], self.resolution)
         return {
             "condition_image": cond,
             "condition_c": self._pose(fname),
@@ -300,7 +310,7 @@ class FFHQGenDataset:
 
     def _load_real(self, idx: int) -> dict:
         fname = self._real_fnames[idx % len(self._real_fnames)]
-        img = _imread_rgb_chw(fname)
+        img = _imread_rgb_chw(fname, self.resolution)
         flip = img[:, :, ::-1].copy()
         label = self._real_label(fname)
         factor = np.float32(1.0)
@@ -311,7 +321,7 @@ class FFHQGenDataset:
             other = self._real_fnames[self._rnd.randint(len(self._real_fnames))]
             label = self._real_label(other)
         rnd_name = self._real_fnames[self._rnd.randint(len(self._real_fnames))]
-        rnd = _imread_rgb_chw(rnd_name)
+        rnd = _imread_rgb_chw(rnd_name, self.resolution)
         # Condition pose/depth borrowed from a random synth item (the real
         # branch has no depth supervision of its own).
         gen_name = self._gen_fnames[self._rnd.randint(len(self._gen_fnames))]
@@ -421,7 +431,7 @@ class TestDataset:
 
     def __getitem__(self, idx: int) -> dict:
         fname = self._fnames[idx]
-        img = _imread_rgb_chw(fname)
+        img = _imread_rgb_chw(fname, self.resolution)
         label = np.asarray(
             self._labels[os.path.basename(fname).replace(".jpg", ".png")],
             dtype=np.float32,

@@ -55,7 +55,8 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
     if dataset_name == "synthetic":
         dataset = SyntheticDataset(resolution=g.img_resolution, size=max_items)
     else:
-        dataset = TestDataset(real_path=real_data, max_size=max_items)
+        dataset = TestDataset(real_path=real_data, max_size=max_items,
+                              resolution=g.img_resolution)
 
     @jax.jit
     def eval_batch(params_e, state_e, params_g, params_vgg, batch_data):

@@ -77,12 +77,13 @@ def test_ffhq_gen_dataset(tmp_path):
     real_root = str(tmp_path / "real")
     _make_gen_pairs(gen_root)
     _make_real_ffhq(real_root)
-    ds = FFHQGenDataset(path=gen_root, real_path=real_root, held_out=1, seed=0)
+    ds = FFHQGenDataset(path=gen_root, real_path=real_root, held_out=1, seed=0,
+                        resolution=32)
     assert len(ds) >= 2
     for idx in range(4):
         item = ds[idx]
         assert set(FFHQGenDataset.ITEM_KEYS) <= set(item.keys())
-        assert item["condition_image"].shape[0] == 3
+        assert item["condition_image"].shape == (3, 32, 32)
         assert item["condition_c"].shape == (25,)
         assert item["c_depth_image"].shape == (1, 16, 16)
         assert item["factor"] in (0.0, 1.0)
@@ -93,7 +94,7 @@ def test_ffhq_gen_dataset(tmp_path):
 def test_test_dataset(tmp_path):
     real_root = str(tmp_path / "real")
     _make_real_ffhq(real_root, n=5)
-    ds = TestDataset(real_path=real_root, held_out=3)
+    ds = TestDataset(real_path=real_root, held_out=3, resolution=32)
     assert len(ds) == 3
     item = ds[0]
     assert item["condition_image"].shape[0] == 3
@@ -132,8 +133,9 @@ def test_train_and_test_datasets_disjoint(tmp_path):
     _make_real_ffhq(real_root, n=6)
     gen_root = str(tmp_path / "gen")
     _make_gen_pairs(gen_root)
-    train_ds = FFHQGenDataset(path=gen_root, real_path=real_root, held_out=2)
-    test_ds = TestDataset(real_path=real_root, held_out=2)
+    train_ds = FFHQGenDataset(path=gen_root, real_path=real_root, held_out=2,
+                              resolution=32)
+    test_ds = TestDataset(real_path=real_root, held_out=2, resolution=32)
     train_files = set(train_ds._real_fnames)
     test_files = set(test_ds._fnames)
     assert len(test_files) == 2
@@ -154,7 +156,7 @@ def test_afhq_dataset(tmp_path):
         labels[name] = _label()
     with open(os.path.join(real_root, "train", "label", "labels.json"), "w") as fh:
         json.dump(labels, fh)
-    ds = Afhqv2Dataset(path=gen_root, real_path=real_root)
+    ds = Afhqv2Dataset(path=gen_root, real_path=real_root, resolution=32)
     item = ds[0]
     assert item["condition_c"].shape == (25,)
 
@@ -269,3 +271,25 @@ def test_image_folder_dataset_dir_and_zip(tmp_path):
     (root / "dataset.json").unlink()
     du = ImageFolderDataset(str(root), resolution=16)
     np.testing.assert_array_equal(du[0]["loss_c"], np.zeros(25, np.float32))
+
+
+def test_imread_enforces_resolution_native_or_pil(tmp_path):
+    """The dataset image loader enforces the size contract (mismatched
+    files are resized to `resolution`) and, when the native C++ runtime is
+    built, its decode of an already-right-size file is pixel-identical to
+    PIL (both are libjpeg/libpng underneath)."""
+    from gnerf_tpu.training.dataset import _imread_rgb_chw
+    from gnerf_tpu.utils import native_loader
+
+    p_big = str(tmp_path / "big.png")
+    _write_img(p_big, h=64, w=64, seed=3)
+    out = _imread_rgb_chw(p_big, resolution=32)
+    assert out.shape == (3, 32, 32) and out.dtype == np.uint8
+
+    p_ok = str(tmp_path / "ok.png")
+    _write_img(p_ok, h=32, w=32, seed=4)
+    got = _imread_rgb_chw(p_ok, resolution=32)
+    want = _imread_rgb_chw(p_ok)  # PIL passthrough at file size
+    np.testing.assert_array_equal(got, want)
+    assert native_loader.native_available(), (
+        "native loader should be built in CI (make -C native)")

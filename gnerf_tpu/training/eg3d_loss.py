@@ -157,11 +157,17 @@ def make_eg3d_train_step(
     cfg: EG3DLossConfig,
     opt_g=None,
     opt_d=None,
+    rendering_overrides: Optional[dict] = None,
 ) -> tuple[Callable, Any, Any]:
     """Adversarial (z, c) -> image GAN training step (EG3D pretraining).
 
     Returns (train_step, opt_g, opt_d). State is a dict with params_g,
     params_g_ema, params_d, opt_state_g, opt_state_d, cur_nimg.
+
+    `rendering_overrides`: per-process render options kept out of any
+    serialized config — e.g. {'ray_sharding': NamedSharding(...)} to shard
+    the in-step render over a 2-D (data, rays) mesh (same contract as
+    train_loop.make_train_step).
     """
     if opt_g is None:
         opt_g = optax.adam(cfg.glr, b1=0.0, b2=0.99, eps=1e-8)
@@ -178,7 +184,8 @@ def make_eg3d_train_step(
         c_cond = swapped_conditioning(k_swap, c, swapping_prob)
         ws = g.backbone.mapping.apply(params_g["backbone"]["mapping"], z, c_cond)
         out = g.synthesis(params_g, ws, c, neural_rendering_resolution=res,
-                          noise_mode="random", rng=k_noise)
+                          noise_mode="random", rng=k_noise,
+                          rendering_kwargs=rendering_overrides)
         return out, ws
 
     def run_d(params_d, img, c, rng, aug_p, blur_sigma=0.0, blur_size: int = 0):

@@ -113,7 +113,7 @@ def make_validator(g, enc, cfg, vgg=None, lpips_pretrained=True):
 def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        data, real_data, batch, gamma, kimg, tick, seed,
                        run_dir, options, aug="noaug", aug_p=0.0,
-                       ada_target=0.6):
+                       ada_target=0.6, ray_shards=1):
     """EG3D adversarial pretraining (z, c) -> image — the stage that
     produces the generator G-NeRF fine-tunes (reference loss.py spec,
     implemented live in eg3d_loss.py)."""
@@ -141,7 +141,19 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         aug_p=aug_p,
         ada_target=ada_target,
     )
-    step_fn, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
+    # Mesh first: with --ray_shards > 1 the step itself needs the 'rays'
+    # axis sharding (same DP x SP contract as the G-NeRF objective).
+    n_dev = len(jax.devices())
+    assert n_dev % ray_shards == 0, (
+        f"--ray_shards {ray_shards} must divide device count {n_dev}")
+    mesh = make_mesh(data=n_dev // ray_shards, rays=ray_shards)
+    rendering_overrides = None
+    if ray_shards > 1:
+        rendering_overrides = {
+            "ray_sharding": NamedSharding(mesh, P("data", "rays", None))
+        }
+    step_fn, opt_g, opt_d = make_eg3d_train_step(
+        g, disc, cfg, rendering_overrides=rendering_overrides)
     state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(seed))
 
     if dataset_name == "synthetic":
@@ -164,7 +176,6 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
     batches = data_iterator(dataset, batch_size=local_batch, rank=rank,
                             num_replicas=world, seed=seed)
 
-    mesh = make_mesh()
     repl = NamedSharding(mesh, P())
     dsh2 = NamedSharding(mesh, P("data", None))
     dsh4 = NamedSharding(mesh, P("data", None, None, None))
@@ -437,6 +448,7 @@ def run_training(
             g, rendering_kwargs, img_resolution, dataset_name, data,
             real_data, batch, gamma, kimg, tick, seed, run_dir, options,
             aug=aug, aug_p=aug_p, ada_target=ada_target,
+            ray_shards=ray_shards,
         )
 
     # Dataset.

@@ -110,6 +110,22 @@ def make_validator(g, enc, cfg, vgg=None, lpips_pretrained=True):
     return validate_batch
 
 
+def _paired_dataset(dataset_name, data, real_data, img_resolution):
+    """dataset_name -> paired-dataset class (reference `train.py:249-266`
+    picks the Dataset class per dataset family the same way; before this
+    dispatch existed, shapenet/afhqv2 silently fell through to the FFHQ
+    loader layout)."""
+    from .dataset import Afhqv2Dataset, FFHQGenDataset, ShapeNetDataset
+
+    cls = {"ffhq": FFHQGenDataset, "afhqv2": Afhqv2Dataset,
+           "shapenet": ShapeNetDataset}.get(dataset_name)
+    if cls is None:
+        raise ValueError(f"unknown --dataset_name {dataset_name!r} "
+                         "(expected ffhq/afhqv2/shapenet/folder/synthetic)")
+    return cls(path=data, real_path=real_data or None,
+               resolution=img_resolution)
+
+
 def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        data, real_data, batch, gamma, kimg, tick, seed,
                        run_dir, options, aug="noaug", aug_p=0.0,
@@ -122,7 +138,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
     from ..models.dual_discriminator import DualDiscriminator
     from ..parallel import make_mesh, put_global_batch
     from ..utils.stats import Collector
-    from .dataset import FFHQGenDataset, SyntheticDataset, data_iterator
+    from .dataset import SyntheticDataset, data_iterator
     from .eg3d_loss import EG3DLossConfig, init_eg3d_state, make_eg3d_train_step
     from ..utils import checkpoint as ckpt_lib
 
@@ -163,8 +179,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
 
         dataset = ImageFolderDataset(path=data, resolution=img_resolution)
     else:
-        dataset = FFHQGenDataset(path=data, real_path=real_data or None,
-                                 resolution=img_resolution)
+        dataset = _paired_dataset(dataset_name, data, real_data, img_resolution)
 
     from ..parallel import process_info
 
@@ -336,7 +351,6 @@ def run_training(
     from ..utils import checkpoint as ckpt_lib
     from ..utils.stats import Collector
     from .dataset import (
-        FFHQGenDataset,
         ImageFolderDataset,
         SyntheticDataset,
         data_iterator,
@@ -458,8 +472,7 @@ def run_training(
     elif dataset_name == "folder" or data.endswith(".zip"):
         dataset = ImageFolderDataset(path=data, resolution=img_resolution)
     else:
-        dataset = FFHQGenDataset(path=data, real_path=real_data or None,
-                                 resolution=img_resolution)
+        dataset = _paired_dataset(dataset_name, data, real_data, img_resolution)
     # Each host feeds its own shard of the global batch (reference
     # `batch_gpu = batch // num_gpus`, train.py:273); single-process keeps
     # the full batch — behavior unchanged.

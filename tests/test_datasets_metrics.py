@@ -293,3 +293,20 @@ def test_imread_enforces_resolution_native_or_pil(tmp_path):
     np.testing.assert_array_equal(got, want)
     assert native_loader.native_available(), (
         "native loader should be built in CI (make -C native)")
+
+
+def test_paired_dataset_dispatch(tmp_path):
+    """--dataset_name now selects the matching paired-dataset class
+    (shapenet/afhqv2 used to silently fall through to the FFHQ layout)."""
+    from gnerf_tpu.training.dataset import Afhqv2Dataset, ShapeNetDataset
+    from gnerf_tpu.training.train import _paired_dataset
+
+    gen_root = str(tmp_path / "gen")
+    _make_gen_pairs(gen_root)
+
+    ds = _paired_dataset("ffhq", gen_root, "", 32)
+    assert type(ds).__name__ == "FFHQGenDataset"
+    assert _paired_dataset("afhqv2", gen_root, "", 32).__class__ is Afhqv2Dataset
+    assert _paired_dataset("shapenet", gen_root, "", 32).__class__ is ShapeNetDataset
+    with pytest.raises(ValueError, match="unknown --dataset_name"):
+        _paired_dataset("nope", gen_root, "", 32)

@@ -3,8 +3,10 @@
 from .augment import AugmentPipe
 from .dataset import (
     Afhqv2Dataset,
+    Afhqv2TestDataset,
     FFHQGenDataset,
     ShapeNetDataset,
+    ShapeNetTestDataset,
     SyntheticDataset,
     TestDataset,
     collate,
@@ -30,9 +32,11 @@ from .train_loop import (
 
 __all__ = [
     "Afhqv2Dataset",
+    "Afhqv2TestDataset",
     "AugmentPipe",
     "FFHQGenDataset",
     "ShapeNetDataset",
+    "ShapeNetTestDataset",
     "collate",
     "SyntheticDataset",
     "TestDataset",

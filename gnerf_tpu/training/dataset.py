@@ -440,6 +440,67 @@ class TestDataset:
                 "loss_image": img, "loss_c": label, "factor": np.float32(1.0)}
 
 
+class Afhqv2TestDataset:
+    """Held-out AFHQ-v2 cat crops (reference Afhqv2_Test_Dataset,
+    `dataset.py:1330-1388`): the tail of the SORTED train/cat listing
+    beyond the train slice — the reference trains on sorted[:4000] and
+    tests on sorted[4000:], so `train_size` must match Afhqv2Dataset's
+    `max_size` for the split to be complementary. Items mirror the image
+    into condition/loss slots (eval contract)."""
+
+    def __init__(self, real_path: str, resolution: int = 512,
+                 train_size: int = 4000, max_size: Optional[int] = None):
+        self.resolution = resolution
+        fnames = sorted(
+            glob.glob(os.path.join(real_path, "train", "cat", "*.png")))
+        self._fnames = fnames[train_size:]
+        if max_size:
+            self._fnames = self._fnames[:max_size]
+        with open(os.path.join(real_path, "train", "label", "labels.json")) as f:
+            self._labels = json.load(f)
+
+    def __len__(self):
+        return len(self._fnames)
+
+    def __getitem__(self, idx: int) -> dict:
+        fname = self._fnames[idx]
+        img = _imread_rgb_chw(fname, self.resolution)
+        label = np.asarray(self._labels[os.path.basename(fname)], np.float32)
+        return {"condition_image": img, "condition_c": label,
+                "loss_image": img, "loss_c": label, "factor": np.float32(1.0)}
+
+
+class ShapeNetTestDataset:
+    """Held-out SRN chair/car views (reference ShapeNet_Test_Dataset,
+    `dataset.py:1532-1611`): a SEPARATE test root (e.g. chairs_test/) with
+    a `train.txt` listing of relative view paths and `label/labels.json`
+    keyed by those paths. The reference's hardcoded machine path becomes
+    `real_path`."""
+
+    def __init__(self, real_path: str, resolution: int = 128,
+                 max_size: Optional[int] = None):
+        self.resolution = resolution
+        self._root = real_path
+        with open(os.path.join(real_path, "train.txt")) as f:
+            rel = sorted(line.strip() for line in f if line.strip())
+        self._fnames = [os.path.join(real_path, r) for r in rel]
+        if max_size:
+            self._fnames = self._fnames[:max_size]
+        with open(os.path.join(real_path, "label", "labels.json")) as f:
+            self._labels = json.load(f)
+
+    def __len__(self):
+        return len(self._fnames)
+
+    def __getitem__(self, idx: int) -> dict:
+        fname = self._fnames[idx]
+        img = _imread_rgb_chw(fname, self.resolution)
+        key = os.path.relpath(fname, self._root)
+        label = np.asarray(self._labels[key], np.float32)
+        return {"condition_image": img, "condition_c": label,
+                "loss_image": img, "loss_c": label, "factor": np.float32(1.0)}
+
+
 class SyntheticDataset:
     """Procedural stand-in with the FFHQGen item contract: random images,
     valid FFHQ orbit poses, plausible depth. Lets the full train step run

@@ -54,6 +54,16 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
 
     if dataset_name == "synthetic":
         dataset = SyntheticDataset(resolution=g.img_resolution, size=max_items)
+    elif dataset_name == "afhqv2":
+        from .dataset import Afhqv2TestDataset
+
+        dataset = Afhqv2TestDataset(real_path=real_data, max_size=max_items,
+                                    resolution=g.img_resolution)
+    elif dataset_name == "shapenet":
+        from .dataset import ShapeNetTestDataset
+
+        dataset = ShapeNetTestDataset(real_path=real_data, max_size=max_items,
+                                      resolution=g.img_resolution)
     else:
         dataset = TestDataset(real_path=real_data, max_size=max_items,
                               resolution=g.img_resolution)

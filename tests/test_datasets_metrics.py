@@ -310,3 +310,49 @@ def test_paired_dataset_dispatch(tmp_path):
     assert _paired_dataset("shapenet", gen_root, "", 32).__class__ is ShapeNetDataset
     with pytest.raises(ValueError, match="unknown --dataset_name"):
         _paired_dataset("nope", gen_root, "", 32)
+
+
+def test_afhq_and_shapenet_test_datasets(tmp_path):
+    """Reference Afhqv2_Test_/ShapeNet_Test_ equivalents: complementary
+    sorted-slice AFHQ split, listing-file ShapeNet test root; both emit the
+    eval item contract."""
+    from gnerf_tpu.training.dataset import Afhqv2TestDataset, ShapeNetTestDataset
+
+    # AFHQ: 5 crops, train slice = first 3 sorted, test = last 2.
+    afhq = str(tmp_path / "afhq")
+    os.makedirs(os.path.join(afhq, "train", "cat"), exist_ok=True)
+    os.makedirs(os.path.join(afhq, "train", "label"), exist_ok=True)
+    labels = {}
+    for i in range(5):
+        name = f"cat{i}.png"
+        _write_img(os.path.join(afhq, "train", "cat", name), seed=i)
+        labels[name] = _label()
+    with open(os.path.join(afhq, "train", "label", "labels.json"), "w") as fh:
+        json.dump(labels, fh)
+    ds = Afhqv2TestDataset(real_path=afhq, train_size=3, resolution=32)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["condition_image"].shape == (3, 32, 32)
+    assert item["loss_c"].shape == (25,)
+    assert os.path.basename(ds._fnames[0]) == "cat3.png"  # complement of [:3]
+
+    # ShapeNet: separate test root with train.txt listing.
+    sn = str(tmp_path / "chairs_test")
+    os.makedirs(os.path.join(sn, "views"), exist_ok=True)
+    os.makedirs(os.path.join(sn, "label"), exist_ok=True)
+    rels, sn_labels = [], {}
+    for i in range(3):
+        rel = os.path.join("views", f"{i:03d}.png")
+        _write_img(os.path.join(sn, rel), seed=50 + i)
+        rels.append(rel)
+        sn_labels[rel] = _label()
+    with open(os.path.join(sn, "train.txt"), "w") as fh:
+        fh.write("\n".join(rels) + "\n")
+    with open(os.path.join(sn, "label", "labels.json"), "w") as fh:
+        json.dump(sn_labels, fh)
+    ds2 = ShapeNetTestDataset(real_path=sn, resolution=16)
+    assert len(ds2) == 3
+    item2 = ds2[1]
+    assert item2["condition_image"].shape == (3, 16, 16)
+    np.testing.assert_array_equal(
+        item2["condition_c"], np.asarray(_label(), np.float32))

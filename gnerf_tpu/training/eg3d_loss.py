@@ -58,6 +58,10 @@ class EG3DLossConfig:
     ada_target: float = 0.6
     ada_interval: int = 4
     ada_kimg: float = 500.0
+    # Freeze-D transfer learning (reference `--freezed`, train.py:158 ->
+    # networks_stylegan2.py:576-597): freeze the first N conv layers of D
+    # counted in forward order from the highest-resolution block.
+    freeze_d_layers: int = 0
 
 
 # The 'bgc' augmentation preset (blit + geometric + color) — the standard
@@ -151,6 +155,27 @@ def density_regularization(
     return jnp.abs(sigma_initial - sigma_perturbed).mean() * cfg.density_reg
 
 
+def freeze_d_trainable_mask(disc, params_d, freeze_layers: int):
+    """Boolean trainable-mask implementing the reference's Freeze-D
+    (`networks_stylegan2.py:576-597`, CLI `--freezed`): conv layers are
+    counted in FORWARD order — per resolution block (highest first):
+    fromrgb (where present), conv0, conv1, skip — and the first
+    `freeze_layers` are frozen. The epilogue/mapping are never frozen
+    (they sit past any realistic freeze depth in the reference too)."""
+    trunk = getattr(disc, "_d", disc)
+    mask = jax.tree_util.tree_map(lambda _: True, params_d)
+    idx = 0
+    for res in trunk.block_resolutions:
+        block = params_d.get(f"b{res}", {})
+        for name in ("fromrgb", "conv0", "conv1", "skip"):
+            if name in block:
+                trainable = idx >= freeze_layers
+                mask[f"b{res}"][name] = jax.tree_util.tree_map(
+                    lambda _: trainable, mask[f"b{res}"][name])
+                idx += 1
+    return mask
+
+
 def make_eg3d_train_step(
     g: TriPlaneGenerator,
     disc: DualDiscriminator,
@@ -172,7 +197,22 @@ def make_eg3d_train_step(
     if opt_g is None:
         opt_g = optax.adam(cfg.glr, b1=0.0, b2=0.99, eps=1e-8)
     if opt_d is None:
-        opt_d = optax.adam(cfg.dlr, b1=0.0, b2=0.99, eps=1e-8)
+        if cfg.freeze_d_layers > 0:
+            # Labels computed from the param STRUCTURE at optimizer init
+            # (optax accepts callable param_labels) — no params needed here.
+            def _labels(params_d):
+                mask = freeze_d_trainable_mask(disc, params_d,
+                                               cfg.freeze_d_layers)
+                return jax.tree_util.tree_map(
+                    lambda t: "train" if t else "freeze", mask)
+
+            opt_d = optax.multi_transform(
+                {"train": optax.adam(cfg.dlr, b1=0.0, b2=0.99, eps=1e-8),
+                 "freeze": optax.set_to_zero()},
+                param_labels=_labels,
+            )
+        else:
+            opt_d = optax.adam(cfg.dlr, b1=0.0, b2=0.99, eps=1e-8)
     res = cfg.neural_rendering_resolution
     pipe = make_augment_pipe(cfg)
 

@@ -129,7 +129,7 @@ def _paired_dataset(dataset_name, data, real_data, img_resolution):
 def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        data, real_data, batch, gamma, kimg, tick, seed,
                        run_dir, options, aug="noaug", aug_p=0.0,
-                       ada_target=0.6, ray_shards=1):
+                       ada_target=0.6, ray_shards=1, freezed=0):
     """EG3D adversarial pretraining (z, c) -> image — the stage that
     produces the generator G-NeRF fine-tunes (reference loss.py spec,
     implemented live in eg3d_loss.py)."""
@@ -156,6 +156,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         aug=aug,
         aug_p=aug_p,
         ada_target=ada_target,
+        freeze_d_layers=freezed,
     )
     # Mesh first: with --ray_shards > 1 the step itself needs the 'rays'
     # axis sharding (same DP x SP contract as the G-NeRF objective).
@@ -339,6 +340,7 @@ def run_training(
     aug_p: float = 0.0,
     ada_target: float = 0.6,
     ray_shards: int = 1,
+    freezed: int = 0,
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -462,7 +464,7 @@ def run_training(
             g, rendering_kwargs, img_resolution, dataset_name, data,
             real_data, batch, gamma, kimg, tick, seed, run_dir, options,
             aug=aug, aug_p=aug_p, ada_target=ada_target,
-            ray_shards=ray_shards,
+            ray_shards=ray_shards, freezed=freezed,
         )
 
     # Dataset.
@@ -726,6 +728,9 @@ def run_training(
                    "the r_t-feedback p controller; fixed = constant p")
 @click.option("--aug_p", type=float, default=0.0,
               help="initial (ada) / constant (fixed) augmentation p")
+@click.option("--freezed", type=int, default=0,
+              help="Freeze-D: freeze the first N conv layers of the EG3D "
+                   "discriminator (reference --freezed)")
 @click.option("--ray_shards", type=int, default=1,
               help="Shard the in-step render's ray axis over this many "
                    "devices (mesh becomes (data=N/ray_shards, rays=ray_shards))")

@@ -280,3 +280,79 @@ def test_profiled_function_and_timer():
     t = StepTimer()
     out = t.tick(64)
     assert "Timing/sec_per_kimg" in out and out["Timing/sec_per_tick"] >= 0
+
+
+def test_eg3d_freeze_d_layers():
+    """Freeze-D (reference --freezed -> networks_stylegan2.py:576-597): the
+    first N conv layers of D (forward order: fromrgb, conv0, conv1, skip per
+    block, highest res first) must not move over a train step; later layers
+    and the epilogue must."""
+    import numpy as np
+
+    from gnerf_tpu.models import TriPlaneGenerator
+    from gnerf_tpu.models.dual_discriminator import DualDiscriminator
+    from gnerf_tpu.training.eg3d_loss import (
+        EG3DLossConfig,
+        freeze_d_trainable_mask,
+        init_eg3d_state,
+        make_eg3d_train_step,
+    )
+
+    g = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=16,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    disc = DualDiscriminator(c_dim=25, img_resolution=32, img_channels=3,
+                             channel_base=256, channel_max=32,
+                             mbstd_group_size=1)
+    cfg = EG3DLossConfig(neural_rendering_resolution=16, density_reg=0,
+                         r1_gamma=1.0, blur_init_sigma=0.0,
+                         freeze_d_layers=3)
+    step_fn, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
+    state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
+
+    mask = freeze_d_trainable_mask(disc, state["params_d"], 3)
+    flat_mask = jax.tree_util.tree_leaves_with_path(mask)
+    assert any(not leaf for _, leaf in flat_mask), "mask froze nothing"
+    assert any(leaf for _, leaf in flat_mask), "mask froze everything"
+    # Top block: fromrgb + conv0 + conv1 = the 3 frozen layers; skip trains.
+    top = f"b{disc._d.block_resolutions[0]}"
+    assert not jax.tree_util.tree_leaves(mask[top]["fromrgb"])[0]
+    assert not jax.tree_util.tree_leaves(mask[top]["conv0"])[0]
+    assert not jax.tree_util.tree_leaves(mask[top]["conv1"])[0]
+    assert jax.tree_util.tree_leaves(mask[top]["skip"])[0]
+
+    before = jax.tree_util.tree_map(np.asarray, state["params_d"])
+    batch = {
+        "z": jax.random.normal(jax.random.PRNGKey(1), (2, 16)),
+        "c": jnp.tile(jnp.eye(4).reshape(1, 16), (2, 1)),
+        "real_image": jax.random.normal(jax.random.PRNGKey(2), (2, 3, 32, 32)),
+        "real_c": jnp.tile(jnp.eye(4).reshape(1, 16), (2, 1)),
+    }
+    batch["c"] = jnp.concatenate(
+        [batch["c"], jnp.tile(jnp.asarray([[4.26, 0, 0.5, 0, 4.26, 0.5, 0, 0, 1.0]]), (2, 1))], axis=1)
+    batch["real_c"] = batch["c"]
+    state, _ = jax.jit(lambda s, b, k: step_fn(s, b, k, jnp.float32(0.0),
+                                               jnp.float32(0.0), blur_size=0))(
+        state, batch, jax.random.PRNGKey(3))
+    after = jax.tree_util.tree_map(np.asarray, state["params_d"])
+
+    def changed(tree_a, tree_b):
+        return any(
+            not np.allclose(a, b)
+            for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                            jax.tree_util.tree_leaves(tree_b))
+        )
+
+    assert not changed(before[top]["fromrgb"], after[top]["fromrgb"])
+    assert not changed(before[top]["conv0"], after[top]["conv0"])
+    assert not changed(before[top]["conv1"], after[top]["conv1"])
+    assert changed(before[top]["skip"], after[top]["skip"])
+    # The 4x4 epilogue block (mbstd + final FCs) is never frozen.
+    assert changed(before["b4"], after["b4"])

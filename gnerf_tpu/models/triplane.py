@@ -200,6 +200,14 @@ class TriPlaneGenerator:
 
     @property
     def superresolution(self):
+        extra = {}
+        # Optional override of the SR module's fixed input resolution
+        # (each variant resizes off-size inputs to it — reference
+        # `superresolution.py:48,296`); used by reduced-scale configs so
+        # the render-resolution fade keeps a constant output size.
+        sr_in = self.rendering_kwargs.get("sr_input_resolution")
+        if sr_in:
+            extra["input_resolution"] = int(sr_in)
         return make_superresolution(
             self.rendering_kwargs["superresolution_module"],
             channels=32,
@@ -208,6 +216,7 @@ class TriPlaneGenerator:
             sr_antialias=self.rendering_kwargs.get("sr_antialias", True),
             w_dim=self.w_dim,
             use_noise=self.use_noise,
+            **extra,
         )
 
     @property

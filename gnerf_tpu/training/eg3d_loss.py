@@ -45,6 +45,25 @@ class EG3DLossConfig:
     density_reg_p_dist: float = 0.004
     density_reg_points: int = 1000
     neural_rendering_resolution: int = 64
+    # Neural-rendering-resolution fade (the upstream-EG3D two-stage recipe;
+    # present in the reference as CLI flags `train.py:184-186` and the
+    # commented schedule `loss.py:95-97`): render at `initial`, blending
+    # linearly to `final` over `fade_kimg`. On TPU the render resolution is
+    # a STATIC shape, so the continuous schedule is quantized to multiples
+    # of `res_bucket` — each bucket is one compiled program (same recompile
+    # granularity as the blur-kernel buckets).
+    neural_rendering_resolution_final: Optional[int] = None
+    neural_rendering_resolution_fade_kimg: float = 1000.0
+    res_bucket: int = 8
+    # Style-mixing regularization (upstream StyleGAN2/EG3D `run_G`; the
+    # reference stores the knob, `loss.py:37`, but its consumer is part of
+    # the commented-out objective): with this probability, ws indices past
+    # a uniform random cutoff are replaced by the mapping of a fresh z.
+    style_mixing_prob: float = 0.0
+    # R1-gamma warm-up fade (reference knobs `loss.py:45-46`, consumer
+    # commented): gamma blends r1_gamma_init -> r1_gamma over fade_kimg.
+    r1_gamma_init: float = 0.0
+    r1_gamma_fade_kimg: float = 0.0
     dual_discrimination: bool = True
     filter_mode: Any = "antialiased"
     glr: float = 0.0025
@@ -106,6 +125,56 @@ def blur_kernel_size(blur_sigma: float) -> int:
     set of buckets — the same recompile granularity EG3D's dynamic kernel
     effectively has)."""
     return int(np.floor(float(blur_sigma) * 3))
+
+
+def neural_resolution_schedule(cur_nimg: float, cfg: EG3DLossConfig) -> int:
+    """Host-side (python int) render-resolution fade — the reference's
+    commented schedule `loss.py:95-97`: linear blend initial -> final over
+    fade_kimg, rounded to the nearest int. Quantized to `res_bucket`
+    multiples so jit sees a small bounded set of static shapes; the
+    endpoints are always exact."""
+    initial = cfg.neural_rendering_resolution
+    final = cfg.neural_rendering_resolution_final
+    if final is None or final == initial:
+        return initial
+    fade = max(cfg.neural_rendering_resolution_fade_kimg, 1e-8) * 1e3
+    alpha = min(float(cur_nimg) / fade, 1.0)
+    res = int(np.rint(initial * (1 - alpha) + final * alpha))
+    b = max(int(cfg.res_bucket), 1)
+    res = int(np.rint(res / b)) * b
+    lo, hi = min(initial, final), max(initial, final)
+    return int(np.clip(res, lo, hi))
+
+
+def r1_gamma_schedule(cur_nimg, cfg: EG3DLossConfig):
+    """R1 gamma warm-up: r1_gamma_init -> r1_gamma over r1_gamma_fade_kimg
+    (reference knobs `loss.py:45-46`; consumer commented there). Traced —
+    `cur_nimg` may be the on-device step counter; no recompiles."""
+    if cfg.r1_gamma_fade_kimg <= 0:
+        return cfg.r1_gamma
+    alpha = jnp.minimum(cur_nimg / (cfg.r1_gamma_fade_kimg * 1e3), 1.0)
+    return cfg.r1_gamma_init * (1 - alpha) + cfg.r1_gamma * alpha
+
+
+def apply_style_mixing(mapping_apply, params_mapping, ws: jax.Array,
+                       z_dim: int, c_cond: jax.Array, rng: jax.Array,
+                       prob: float) -> jax.Array:
+    """Style-mixing regularization (upstream StyleGAN2 semantics): with
+    probability `prob`, replace ws[:, cutoff:] with the mapping of a fresh
+    z at a cutoff drawn uniformly from [1, num_ws). One cutoff per batch
+    (matching torch's single scalar draw); jit-safe — the cutoff is a
+    traced scalar turned into a per-index mask. Index 0 is never mixed, so
+    w_avg statistics taken from ws[:, 0] are unaffected."""
+    if prob <= 0:
+        return ws
+    k_cut, k_apply, k_z = jax.random.split(rng, 3)
+    num_ws = ws.shape[1]
+    cutoff = jax.random.randint(k_cut, (), 1, num_ws)
+    cutoff = jnp.where(jax.random.uniform(k_apply) < prob, cutoff, num_ws)
+    z2 = jax.random.normal(k_z, (ws.shape[0], z_dim), ws.dtype)
+    ws2 = mapping_apply(params_mapping, z2, c_cond)
+    keep = jnp.arange(num_ws)[None, :, None] < cutoff
+    return jnp.where(keep, ws, ws2)
 
 
 def swapping_prob_schedule(cur_nimg, cfg: EG3DLossConfig):
@@ -213,22 +282,26 @@ def make_eg3d_train_step(
             )
         else:
             opt_d = optax.adam(cfg.dlr, b1=0.0, b2=0.99, eps=1e-8)
-    res = cfg.neural_rendering_resolution
     pipe = make_augment_pipe(cfg)
 
-    def run_g(params_g, z, c, rng, cur_nimg):
-        k_swap, k_noise = jax.random.split(rng)
+    def run_g(params_g, z, c, rng, cur_nimg, res):
+        k_swap, k_mix, k_noise = jax.random.split(rng, 3)
         # gpc_reg fade rides the live step count (traced scalar): 1.0 ->
         # gpc_reg_prob over gpc_reg_fade_kimg, reference `loss.py:96-97`.
         swapping_prob = swapping_prob_schedule(cur_nimg, cfg)
         c_cond = swapped_conditioning(k_swap, c, swapping_prob)
-        ws = g.backbone.mapping.apply(params_g["backbone"]["mapping"], z, c_cond)
+        mapping_apply = g.backbone.mapping.apply
+        params_mapping = params_g["backbone"]["mapping"]
+        ws = mapping_apply(params_mapping, z, c_cond)
+        ws = apply_style_mixing(mapping_apply, params_mapping, ws, g.z_dim,
+                                c_cond, k_mix, cfg.style_mixing_prob)
         out = g.synthesis(params_g, ws, c, neural_rendering_resolution=res,
                           noise_mode="random", rng=k_noise,
                           rendering_kwargs=rendering_overrides)
         return out, ws
 
-    def run_d(params_d, img, c, rng, aug_p, blur_sigma=0.0, blur_size: int = 0):
+    def run_d(params_d, img, c, rng, aug_p, res, blur_sigma=0.0,
+              blur_size: int = 0):
         img = dict(img)
         if blur_size > 0:
             img["image"] = blur_image(img["image"], blur_sigma, blur_size)
@@ -250,10 +323,10 @@ def make_eg3d_train_step(
         return disc.apply(params_d, img, c)
 
     def g_loss_fn(params_g, params_d, z, c, rng, cur_nimg, blur_sigma, blur_size,
-                  aug_p):
+                  aug_p, res):
         k_g, k_reg, k_aug = jax.random.split(rng, 3)
-        gen_img, ws = run_g(params_g, z, c, k_g, cur_nimg)
-        gen_logits = run_d(params_d, gen_img, c, k_aug, aug_p,
+        gen_img, ws = run_g(params_g, z, c, k_g, cur_nimg, res)
+        gen_logits = run_d(params_d, gen_img, c, k_aug, aug_p, res,
                            blur_sigma, blur_size)
         loss_gmain = jax.nn.softplus(-gen_logits).mean()
         loss = loss_gmain
@@ -266,17 +339,18 @@ def make_eg3d_train_step(
         return loss, (stats, jax.lax.stop_gradient(ws[:, 0]))
 
     def d_loss_fn(params_d, params_g, z, c, real_img_full, real_c, rng, cur_nimg,
-                  blur_sigma, blur_size, aug_p):
+                  blur_sigma, blur_size, aug_p, res):
         k_gen, k_aug_f, k_aug_r, k_aug_r1 = jax.random.split(rng, 4)
-        gen_img, _ = run_g(jax.lax.stop_gradient(params_g), z, c, k_gen, cur_nimg)
+        gen_img, _ = run_g(jax.lax.stop_gradient(params_g), z, c, k_gen,
+                           cur_nimg, res)
         gen_img = jax.tree_util.tree_map(jax.lax.stop_gradient, dict(gen_img))
-        gen_logits = run_d(params_d, gen_img, c, k_aug_f, aug_p,
+        gen_logits = run_d(params_d, gen_img, c, k_aug_f, aug_p, res,
                            blur_sigma, blur_size)
         loss_dgen = jax.nn.softplus(gen_logits).mean()
 
         real_raw = interpolate_bilinear(real_img_full, res, res, antialias=True)
         real = {"image": real_img_full, "image_raw": real_raw}
-        real_logits = run_d(params_d, real, real_c, k_aug_r, aug_p,
+        real_logits = run_d(params_d, real, real_c, k_aug_r, aug_p, res,
                             blur_sigma, blur_size)
         loss_dreal = jax.nn.softplus(-real_logits).mean()
 
@@ -287,12 +361,13 @@ def make_eg3d_train_step(
         # fresh augment key mirrors torch's independent draw per run_D call.
         def d_sum(image, image_raw):
             return run_d(params_d, {"image": image, "image_raw": image_raw},
-                         real_c, k_aug_r1, aug_p, blur_sigma, blur_size).sum()
+                         real_c, k_aug_r1, aug_p, res, blur_sigma,
+                         blur_size).sum()
 
         g_img, g_raw = jax.grad(d_sum, argnums=(0, 1))(real["image"], real["image_raw"])
         r1 = (jnp.sum(jnp.square(g_img), axis=(1, 2, 3))
               + jnp.sum(jnp.square(g_raw), axis=(1, 2, 3)))
-        loss_dr1 = (r1 * (cfg.r1_gamma / 2)).mean()
+        loss_dr1 = (r1 * (r1_gamma_schedule(cur_nimg, cfg) / 2)).mean()
 
         stats = {
             "Loss/D/loss": loss_dgen + loss_dreal,
@@ -304,19 +379,25 @@ def make_eg3d_train_step(
         return loss_dgen + loss_dreal + loss_dr1, stats
 
     def train_step(state: dict, batch: Mapping[str, jax.Array], rng: jax.Array,
-                   blur_sigma=0.0, aug_p=0.0, *, blur_size: int = 0):
+                   blur_sigma=0.0, aug_p=0.0, *, blur_size: int = 0,
+                   res: Optional[int] = None):
         """batch: {'z': [N,z], 'c': [N,25], 'real_image': [N,3,R,R],
         'real_c': [N,25]}. `blur_sigma` is the traced fade value from
         `blur_sigma_schedule`; `blur_size` the matching STATIC kernel extent
         from `blur_kernel_size` (jit with static_argnames=('blur_size',));
         `aug_p` the traced ADA strength from the host-side controller
-        (`ada_update_p`) — ignored under aug='noaug'."""
+        (`ada_update_p`) — ignored under aug='noaug'; `res` the STATIC
+        neural render resolution from `neural_resolution_schedule` (None ->
+        the config's initial resolution) — one compiled program per
+        (blur_size, res) bucket."""
+        if res is None:
+            res = cfg.neural_rendering_resolution
         k_g, k_d = jax.random.split(rng)
         (g_l, (g_stats, w_batch)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
         )(
             state["params_g"], state["params_d"], batch["z"], batch["c"], k_g,
-            state["cur_nimg"], blur_sigma, blur_size, aug_p,
+            state["cur_nimg"], blur_sigma, blur_size, aug_p, res,
         )
         g_upd, opt_state_g = opt_g.update(g_grads, state["opt_state_g"],
                                           state["params_g"])
@@ -334,7 +415,7 @@ def make_eg3d_train_step(
         (d_l, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state["params_d"], params_g, batch["z"], batch["c"],
             batch["real_image"], batch["real_c"], k_d, state["cur_nimg"],
-            blur_sigma, blur_size, aug_p,
+            blur_sigma, blur_size, aug_p, res,
         )
         d_upd, opt_state_d = opt_d.update(d_grads, state["opt_state_d"],
                                           state["params_d"])

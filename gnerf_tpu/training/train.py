@@ -126,10 +126,47 @@ def _paired_dataset(dataset_name, data, real_data, img_resolution):
                resolution=img_resolution)
 
 
+def check_fade_sr_compat(g, params_g, cfg, img_resolution: int) -> None:
+    """Fail fast on SR/fade incompatibility: every render resolution the fade
+    can visit must keep G's `image` at img_resolution (the D's fixed input).
+    The FFHQ-style SR variants resize off-size inputs to their fixed
+    input_resolution; the 2X/ShapeNet module does not (reference
+    `superresolution.py:94-124`), so its output would silently track the
+    faded res and crash hours in at the first new bucket. Pure shape
+    inference (jax.eval_shape) — no FLOPs, runs once at startup."""
+    if cfg.neural_rendering_resolution_final is None:
+        return
+    lo = min(cfg.neural_rendering_resolution,
+             cfg.neural_rendering_resolution_final)
+    hi = max(cfg.neural_rendering_resolution,
+             cfg.neural_rendering_resolution_final)
+    b = max(int(cfg.res_bucket), 1)
+    buckets = {cfg.neural_rendering_resolution,
+               cfg.neural_rendering_resolution_final}
+    buckets |= {r for r in range(lo, hi + 1) if r % b == 0}
+    ws_s = jax.ShapeDtypeStruct((1, g.num_ws, g.w_dim), jnp.float32)
+    c_s = jax.ShapeDtypeStruct((1, 25), jnp.float32)
+    for r in sorted(buckets):
+        out = jax.eval_shape(
+            lambda p, ws, c, r=r: g.synthesis(
+                p, ws, c, neural_rendering_resolution=r, noise_mode="none"),
+            params_g, ws_s, c_s)
+        if out["image"].shape[-1] != img_resolution:
+            raise ValueError(
+                f"render-resolution fade visits res={r} at which the "
+                f"configured SR module emits a {out['image'].shape[-1]}^2 "
+                f"image instead of {img_resolution}^2 — use an SR variant "
+                "with the fixed-input resize guard (8XDC/8X/4X family) or "
+                "set rendering_kwargs['sr_input_resolution']")
+
+
 def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        data, real_data, batch, gamma, kimg, tick, seed,
                        run_dir, options, aug="noaug", aug_p=0.0,
-                       ada_target=0.6, ray_shards=1, freezed=0):
+                       ada_target=0.6, ray_shards=1, freezed=0,
+                       neural_rendering_resolution_final=None,
+                       neural_rendering_resolution_fade_kimg=1000.0,
+                       style_mixing_prob=0.0):
     """EG3D adversarial pretraining (z, c) -> image — the stage that
     produces the generator G-NeRF fine-tunes (reference loss.py spec,
     implemented live in eg3d_loss.py)."""
@@ -157,6 +194,10 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         aug_p=aug_p,
         ada_target=ada_target,
         freeze_d_layers=freezed,
+        neural_rendering_resolution_final=neural_rendering_resolution_final,
+        neural_rendering_resolution_fade_kimg=(
+            neural_rendering_resolution_fade_kimg),
+        style_mixing_prob=style_mixing_prob,
     )
     # Mesh first: with --ray_shards > 1 the step itself needs the 'rays'
     # axis sharding (same DP x SP contract as the G-NeRF objective).
@@ -172,6 +213,8 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
     step_fn, opt_g, opt_d = make_eg3d_train_step(
         g, disc, cfg, rendering_overrides=rendering_overrides)
     state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(seed))
+
+    check_fade_sr_compat(g, state["params_g"], cfg, img_resolution)
 
     if dataset_name == "synthetic":
         dataset = SyntheticDataset(resolution=img_resolution)
@@ -200,28 +243,32 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
 
     def put_batch(v, sh):
         return put_global_batch(v, sh, world)
-    # One compiled program per blur-kernel extent: the D warm-up blur fades
-    # over blur_fade_kimg, so the static FIR size steps through a small,
-    # bounded set of buckets (eg3d_loss.blur_kernel_size). sigma itself is
-    # traced, so within a bucket no recompile happens.
-    from .eg3d_loss import ada_update_p, blur_kernel_size, blur_sigma_schedule
+    # One compiled program per (blur-kernel extent, render resolution)
+    # bucket: the D warm-up blur fades over blur_fade_kimg and the neural
+    # render resolution fades initial -> final over its fade_kimg — both
+    # must be static under jit, and both step through small bounded sets
+    # (eg3d_loss.blur_kernel_size / neural_resolution_schedule). sigma and
+    # aug_p are traced, so within a bucket no recompile happens.
+    from .eg3d_loss import (ada_update_p, blur_kernel_size,
+                            blur_sigma_schedule, neural_resolution_schedule)
 
     _steps: dict = {}
 
     def step(state, gan_batch, rng, cur_nimg, aug_p):
         sigma = blur_sigma_schedule(cur_nimg, cfg)
         size = blur_kernel_size(sigma)
-        if size not in _steps:
-            # blur_size is baked per bucket via partial: pjit rejects kwargs
-            # (even static ones) when in_shardings is specified.
+        res = neural_resolution_schedule(cur_nimg, cfg)
+        if (size, res) not in _steps:
+            # blur_size/res are baked per bucket via partial: pjit rejects
+            # kwargs (even static ones) when in_shardings is specified.
             import functools
 
-            _steps[size] = jax.jit(
-                functools.partial(step_fn, blur_size=size),
+            _steps[(size, res)] = jax.jit(
+                functools.partial(step_fn, blur_size=size, res=res),
                 in_shardings=(repl, batch_sh, repl, repl, repl),
                 out_shardings=(repl, repl), donate_argnums=(0,),
             )
-        return _steps[size](state, gan_batch, rng,
+        return _steps[(size, res)](state, gan_batch, rng,
                             jax.device_put(jnp.float32(max(sigma, 1e-8)), repl),
                             jax.device_put(jnp.float32(aug_p), repl))
 
@@ -341,6 +388,9 @@ def run_training(
     ada_target: float = 0.6,
     ray_shards: int = 1,
     freezed: int = 0,
+    neural_rendering_resolution_final: int = 0,
+    neural_rendering_resolution_fade_kimg: float = 1000.0,
+    style_mixing_prob: float = 0.0,
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -435,6 +485,11 @@ def run_training(
         "ray_shards": ray_shards,
         "lpips_pretrained": lpips_pretrained,
         "aug": {"mode": aug, "p0": aug_p, "ada_target": ada_target},
+        "neural_rendering_resolution_final": (
+            neural_rendering_resolution_final or None),
+        "neural_rendering_resolution_fade_kimg": (
+            neural_rendering_resolution_fade_kimg),
+        "style_mixing_prob": style_mixing_prob,
         # Which train/held-out partition rule produced this run's data: eval
         # numbers are only comparable across runs with the same scheme (the
         # md5 rule replaced sorted-tail slicing in r3 — a resumed pre-r3 run
@@ -465,6 +520,11 @@ def run_training(
             real_data, batch, gamma, kimg, tick, seed, run_dir, options,
             aug=aug, aug_p=aug_p, ada_target=ada_target,
             ray_shards=ray_shards, freezed=freezed,
+            neural_rendering_resolution_final=(
+                neural_rendering_resolution_final or None),
+            neural_rendering_resolution_fade_kimg=(
+                neural_rendering_resolution_fade_kimg),
+            style_mixing_prob=style_mixing_prob,
         )
 
     # Dataset.
@@ -734,6 +794,18 @@ def run_training(
 @click.option("--ray_shards", type=int, default=1,
               help="Shard the in-step render's ray axis over this many "
                    "devices (mesh becomes (data=N/ray_shards, rays=ray_shards))")
+@click.option("--neural_rendering_resolution_final",
+              type=int, default=0,
+              help="Fade the neural render resolution to this value "
+                   "(EG3D two-stage recipe; 0 = no fade). Reference flag "
+                   "train.py:185.")
+@click.option("--neural_rendering_resolution_fade_kimg",
+              type=float, default=1000.0,
+              help="Kimg to blend the render resolution over "
+                   "(reference train.py:186).")
+@click.option("--style_mixing_prob", type=float, default=0.0,
+              help="Style-mixing regularization probability for the EG3D "
+                   "objective (reference loss.py:37).")
 @click.option("--ada_target", type=float, default=0.6,
               help="ADA controller target for E[sign(D(real))]")
 def main(**kwargs):

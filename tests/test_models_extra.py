@@ -257,6 +257,183 @@ def test_eg3d_schedules_and_blur():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_neural_resolution_schedule():
+    """Render-resolution fade (the reference's commented `loss.py:95-97`
+    schedule behind its train.py:184-186 flags): exact endpoints, monotone
+    bucketed interior, no-op when final is unset."""
+    from gnerf_tpu.training.eg3d_loss import (
+        EG3DLossConfig,
+        neural_resolution_schedule,
+    )
+
+    cfg = EG3DLossConfig(neural_rendering_resolution=64,
+                         neural_rendering_resolution_final=128,
+                         neural_rendering_resolution_fade_kimg=1000.0,
+                         res_bucket=8)
+    assert neural_resolution_schedule(0, cfg) == 64
+    assert neural_resolution_schedule(2_000_000, cfg) == 128
+    mid = neural_resolution_schedule(500_000, cfg)
+    assert mid == 96 and mid % 8 == 0
+    seq = [neural_resolution_schedule(n, cfg)
+           for n in range(0, 1_100_000, 50_000)]
+    assert seq == sorted(seq)
+    assert all(r % 8 == 0 for r in seq)
+    assert len(set(seq)) <= (128 - 64) // 8 + 1  # bounded bucket count
+
+    none_cfg = EG3DLossConfig(neural_rendering_resolution=64)
+    assert neural_resolution_schedule(10**9, none_cfg) == 64
+    # Downward fade also clips into [final, initial].
+    down = EG3DLossConfig(neural_rendering_resolution=128,
+                          neural_rendering_resolution_final=64,
+                          neural_rendering_resolution_fade_kimg=100.0)
+    assert neural_resolution_schedule(0, down) == 128
+    assert neural_resolution_schedule(10**9, down) == 64
+
+
+def test_r1_gamma_schedule():
+    from gnerf_tpu.training.eg3d_loss import EG3DLossConfig, r1_gamma_schedule
+
+    cfg = EG3DLossConfig(r1_gamma=10.0, r1_gamma_init=2.0,
+                         r1_gamma_fade_kimg=100.0)
+    np.testing.assert_allclose(float(r1_gamma_schedule(jnp.float32(0), cfg)), 2.0)
+    np.testing.assert_allclose(
+        float(r1_gamma_schedule(jnp.float32(50_000), cfg)), 6.0)
+    np.testing.assert_allclose(
+        float(r1_gamma_schedule(jnp.float32(10**8), cfg)), 10.0)
+    # No fade configured -> constant python float (no tracing needed).
+    assert r1_gamma_schedule(0, EG3DLossConfig(r1_gamma=7.0)) == 7.0
+    # Traced step count jits.
+    out = jax.jit(lambda n: r1_gamma_schedule(n, cfg))(jnp.int32(50_000))
+    np.testing.assert_allclose(float(out), 6.0)
+
+
+def test_style_mixing():
+    """apply_style_mixing (upstream StyleGAN2 run_G semantics): prob=0 is
+    identity; prob=1 keeps index 0 (w_avg feeding) and replaces a suffix of
+    ws with the mapping of a fresh z."""
+    from gnerf_tpu.training.eg3d_loss import apply_style_mixing
+
+    g = _tiny_g()
+    p = g.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    c = jnp.zeros((2, 25))
+    mapping_apply = g.backbone.mapping.apply
+    pm = p["backbone"]["mapping"]
+    ws = mapping_apply(pm, z, c)
+
+    same = apply_style_mixing(mapping_apply, pm, ws, 16, c,
+                              jax.random.PRNGKey(2), 0.0)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(ws))
+
+    mixed = apply_style_mixing(mapping_apply, pm, ws, 16, c,
+                               jax.random.PRNGKey(2), 1.0)
+    np.testing.assert_array_equal(np.asarray(mixed[:, 0]), np.asarray(ws[:, 0]))
+    assert not np.allclose(np.asarray(mixed[:, -1]), np.asarray(ws[:, -1]))
+    # The mixed suffix is itself a valid mapping output: all finite, and the
+    # split point is shared across the batch (one cutoff per batch).
+    diff = np.any(np.asarray(mixed) != np.asarray(ws), axis=2)  # [N, num_ws]
+    assert (diff[0] == diff[1]).all()
+    cut = np.argmax(diff[0])
+    assert diff[0, cut:].all() and not diff[0, :cut].any()
+    # jit-safe (cutoff is traced).
+    jmixed = jax.jit(
+        lambda k: apply_style_mixing(mapping_apply, pm, ws, 16, c, k, 1.0)
+    )(jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(jmixed), np.asarray(mixed),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fade_sr_compat_check():
+    """check_fade_sr_compat: shape-only probe over all reachable res
+    buckets — rejects the guardless 2X module under a fade, accepts a
+    resize-guarded module, and is a no-op without a fade."""
+    from gnerf_tpu.training.eg3d_loss import EG3DLossConfig
+    from gnerf_tpu.training.train import check_fade_sr_compat
+
+    g2x = _tiny_g()  # SuperresolutionHybrid2X: output tracks 2*res
+    p2x = g2x.init(jax.random.PRNGKey(0))
+    cfg = EG3DLossConfig(neural_rendering_resolution=8,
+                         neural_rendering_resolution_final=4,
+                         neural_rendering_resolution_fade_kimg=1.0,
+                         res_bucket=4)
+    with pytest.raises(ValueError, match="resize guard"):
+        check_fade_sr_compat(g2x, p2x, cfg, img_resolution=16)
+    # No fade configured -> no probe, no error.
+    check_fade_sr_compat(g2x, p2x,
+                         EG3DLossConfig(neural_rendering_resolution=8),
+                         img_resolution=16)
+
+    g4x = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=256, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=8,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid4X",
+            sr_input_resolution=8,
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    check_fade_sr_compat(g4x, g4x.init(jax.random.PRNGKey(1)), cfg,
+                         img_resolution=16)
+
+
+@pytest.mark.slow
+def test_eg3d_train_step_res_fade_bucket():
+    """The EG3D step compiles and runs at a render resolution OTHER than
+    the config's initial one (the res-fade bucket path): image_raw tracks
+    `res`, `image` stays at the SR module's fixed output resolution, and
+    losses stay finite."""
+    import functools
+
+    from gnerf_tpu.training.eg3d_loss import (
+        EG3DLossConfig,
+        init_eg3d_state,
+        make_eg3d_train_step,
+    )
+
+    # The fade needs an SR module with the fixed-input resize guard
+    # (reference superresolution.py:48,148,296 — the FFHQ-style variants);
+    # sr_input_resolution pins it at tiny scale so `image` stays 16^2 while
+    # image_raw tracks the faded render resolution.
+    g = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=256, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=8,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid4X",
+            sr_input_resolution=8,
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    disc = DualDiscriminator(c_dim=25, img_resolution=16, img_channels=3,
+                             channel_base=256, channel_max=32,
+                             mbstd_group_size=1)
+    cfg = EG3DLossConfig(neural_rendering_resolution=8,
+                         neural_rendering_resolution_final=4,
+                         neural_rendering_resolution_fade_kimg=1.0,
+                         res_bucket=4, density_reg=0.25,
+                         density_reg_points=16, r1_gamma=1.0,
+                         style_mixing_prob=0.9)
+    step, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
+    state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
+    batch = {
+        "z": jax.random.normal(jax.random.PRNGKey(1), (2, 16)),
+        "c": jax.random.normal(jax.random.PRNGKey(2), (2, 25)),
+        "real_image": jax.random.normal(jax.random.PRNGKey(3), (2, 3, 16, 16)),
+        "real_c": jax.random.normal(jax.random.PRNGKey(4), (2, 25)),
+    }
+    new_state, stats = jax.jit(functools.partial(step, res=4))(
+        state, batch, jax.random.PRNGKey(5))
+    for k in ("Loss/G/total", "Loss/D/total", "Loss/D/reg"):
+        assert np.isfinite(float(stats[k])), (k, stats[k])
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state["params_g"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(new_state["params_g"])[0]),
+    )
+
+
 def test_cross_section():
     from gnerf_tpu.infer.crosssection import sample_cross_section
 

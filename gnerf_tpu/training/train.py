@@ -166,10 +166,19 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        ada_target=0.6, ray_shards=1, freezed=0,
                        neural_rendering_resolution_final=None,
                        neural_rendering_resolution_fade_kimg=1000.0,
-                       style_mixing_prob=0.0):
+                       style_mixing_prob=0.0, resume=""):
     """EG3D adversarial pretraining (z, c) -> image — the stage that
     produces the generator G-NeRF fine-tunes (reference loss.py spec,
-    implemented live in eg3d_loss.py)."""
+    implemented live in eg3d_loss.py).
+
+    `resume` restores a FULL training-state checkpoint (params + EMA + both
+    Adams + cur_nimg + live ADA p) written each tick — same preemption
+    contract as the G-NeRF loop, beyond the reference's params-only pickles
+    (`training_loop.py:503-560`, SURVEY.md 5.4). Per-step keys are a pure
+    function of cur_nimg and every schedule (blur, gpc-swap, res-fade, ADA)
+    rides the restored counter, so a resumed run continues the exact
+    schedule state; only the data order restarts (sampler reseeded from the
+    resume position) and the sub-interval ADA r_t window is dropped."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..models.dual_discriminator import DualDiscriminator
@@ -216,6 +225,19 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
 
     check_fade_sr_compat(g, state["params_g"], cfg, img_resolution)
 
+    from ..parallel import process_info
+    from .train_loop import load_train_state, save_train_state
+
+    rank, world = process_info()
+    resumed_aug_p = None
+    if resume:
+        state, ckpt_cfg = load_train_state(resume, state)
+        if ckpt_cfg and "aug_p_live" in ckpt_cfg:
+            resumed_aug_p = float(ckpt_cfg["aug_p_live"])
+        if rank == 0:
+            print(f"Resumed EG3D training state from {resume} at kimg "
+                  f"{int(np.asarray(state['cur_nimg'])) / 1000:.1f}")
+
     if dataset_name == "synthetic":
         dataset = SyntheticDataset(resolution=img_resolution)
     elif dataset_name == "folder" or data.endswith(".zip"):
@@ -225,15 +247,16 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
     else:
         dataset = _paired_dataset(dataset_name, data, real_data, img_resolution)
 
-    from ..parallel import process_info
-
-    rank, world = process_info()
     # Per-host shard of the global batch (reference batch_gpu = batch//gpus,
-    # train.py:273); the sampler walks every world-th index per host.
+    # train.py:273); the sampler walks every world-th index per host. Seeded
+    # from the resume position so a resumed run draws fresh data order
+    # rather than replaying step 0's (the reference's params-only resume
+    # semantics, SURVEY.md 5.4).
     assert batch % world == 0, f"batch {batch} not divisible by {world} hosts"
     local_batch = batch // world
+    resume_nimg = int(np.asarray(jax.device_get(state["cur_nimg"])))
     batches = data_iterator(dataset, batch_size=local_batch, rank=rank,
-                            num_replicas=world, seed=seed)
+                            num_replicas=world, seed=seed + resume_nimg)
 
     repl = NamedSharding(mesh, P())
     dsh2 = NamedSharding(mesh, P("data", None))
@@ -272,21 +295,39 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                             jax.device_put(jnp.float32(max(sigma, 1e-8)), repl),
                             jax.device_put(jnp.float32(aug_p), repl))
 
+    # Preemption-safe shutdown (same contract as the G-NeRF loop, SURVEY.md
+    # 5.3): SIGTERM/SIGINT finish the in-flight step, save full state, exit.
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        print(f"signal {signum}: finishing step, checkpointing, exiting...")
+
+    prev_handlers = {
+        s: signal.signal(s, _request_stop)
+        for s in (signal.SIGTERM, signal.SIGINT)
+    }
+
     collector = Collector()
-    cur_nimg, tick_idx, tick_start = 0, 0, time.time()
+    cur_nimg = resume_nimg
+    tick_idx = int(cur_nimg // max(tick * 1000, 1))
+    tick_start = time.time()
     # Per-step keys are a pure function of cur_nimg (not a running split
-    # stream), so any future resume-from-nimg continues the key sequence
-    # rather than replaying it from 0.
+    # stream), so a resume-from-nimg continues the key sequence rather than
+    # replaying it from 0.
     base_rng = jax.random.PRNGKey(seed + 1)
     # ADA adaptive-p controller state (host-side, like the blur schedule):
-    # r_t = mean sign(D(real)) over the interval feeds ada_update_p.
-    cur_aug_p = float(aug_p)
+    # r_t = mean sign(D(real)) over the interval feeds ada_update_p; the
+    # live p is persisted with the full-state checkpoint.
+    cur_aug_p = resumed_aug_p if resumed_aug_p is not None else float(aug_p)
     rt_window: list = []
     step_idx = 0
     if rank == 0:
         print(f"EG3D pretraining for {kimg} kimg in {run_dir} "
               f"(aug={aug}, p0={cur_aug_p}) ...")
-    while cur_nimg < kimg * 1000:
+    while cur_nimg < kimg * 1000 and not stop_requested["flag"]:
         kz, ks = jax.random.split(jax.random.fold_in(base_rng, cur_nimg))
         raw = next(batches)
         # Each host draws only its local_batch z rows (key folded with rank
@@ -328,15 +369,41 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                       f"sec/tick {now - tick_start:<7.1f} {msg}")
                 collector.write_jsonl(os.path.join(run_dir, "stats.jsonl"),
                                       extra={"kimg": cur_nimg / 1000})
-                host = jax.device_get(state)
-                ckpt_lib.save_checkpoint(
-                    os.path.join(run_dir, "network-snapshot-latest.npz"),
-                    {"G_ema": host["params_g_ema"], "G": host["params_g"],
-                     "D": host["params_d"]},
-                    config=options,
-                )
+                # Disk-full tolerance (reference `training_loop.py:562-564`).
+                try:
+                    host = jax.device_get(state)
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(run_dir, "network-snapshot-latest.npz"),
+                        {"G_ema": host["params_g_ema"], "G": host["params_g"],
+                         "D": host["params_d"]},
+                        config=options,
+                    )
+                    save_train_state(
+                        os.path.join(run_dir, "training-state-latest.npz"),
+                        state, config={**options, "aug_p_live": cur_aug_p})
+                except OSError as err:
+                    print(f"WARNING: snapshot write failed: {err}")
             tick_start = now
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
     if rank == 0:
+        try:
+            host = jax.device_get(state)
+            ckpt_lib.save_checkpoint(
+                os.path.join(run_dir, "network-snapshot-final.npz"),
+                {"G_ema": host["params_g_ema"], "G": host["params_g"],
+                 "D": host["params_d"]},
+                config=options,
+            )
+            save_train_state(
+                os.path.join(run_dir, "training-state-latest.npz"),
+                state, config={**options, "aug_p_live": cur_aug_p})
+        except OSError as err:
+            print(f"WARNING: final snapshot failed: {err}")
+        if stop_requested["flag"]:
+            print(f"preempted at {cur_nimg / 1000:.1f} kimg — full state "
+                  f"saved; resume with --resume "
+                  f"{os.path.join(run_dir, 'training-state-latest.npz')}")
         print("done")
     return run_dir
 
@@ -525,6 +592,7 @@ def run_training(
             neural_rendering_resolution_fade_kimg=(
                 neural_rendering_resolution_fade_kimg),
             style_mixing_prob=style_mixing_prob,
+            resume=resume,
         )
 
     # Dataset.

@@ -148,3 +148,125 @@ def test_load_train_state_rejects_shape_mismatch(tmp_path):
     np.savez(path, **data)
     with pytest.raises(ValueError, match="shape"):
         load_train_state(path, state)
+
+
+def _tiny_eg3d():
+    from gnerf_tpu.models.dual_discriminator import DualDiscriminator
+    from gnerf_tpu.training.eg3d_loss import (
+        EG3DLossConfig,
+        init_eg3d_state,
+        make_eg3d_train_step,
+    )
+
+    g = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=8,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    disc = DualDiscriminator(c_dim=25, img_resolution=16, img_channels=3,
+                             channel_base=256, channel_max=32,
+                             mbstd_group_size=1)
+    cfg = EG3DLossConfig(neural_rendering_resolution=8, density_reg=0.25,
+                         density_reg_points=16, r1_gamma=1.0)
+    step, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
+    state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
+    return g, disc, cfg, jax.jit(step), state
+
+
+@pytest.mark.slow
+def test_eg3d_save_resume_bit_identical(tmp_path):
+    """EG3D full-state checkpoint (params + EMA + both Adams + cur_nimg):
+    save mid-run, continue 2 steps; reload into a fresh template and replay
+    the same 2 batches — results must be BIT-identical. The G-NeRF loop has
+    had this contract since r2; the EG3D pretraining loop gets it in r3
+    (the reference's GAN-stage pickles are params-only,
+    `training_loop.py:503-560`)."""
+    g, disc, cfg, step, state = _tiny_eg3d()
+    ks = jax.random.PRNGKey(7)
+
+    def batch_at(i):
+        k = jax.random.fold_in(ks, i)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {
+            "z": jax.random.normal(k1, (2, 16)),
+            "c": jax.random.normal(k2, (2, 25)),
+            "real_image": jax.random.normal(k3, (2, 3, 16, 16)),
+            "real_c": jax.random.normal(k4, (2, 25)),
+        }
+
+    for i in range(3):
+        state, _ = step(state, batch_at(i), jax.random.PRNGKey(100 + i))
+
+    path = str(tmp_path / "eg3d-state.npz")
+    save_train_state(path, state, config={"aug_p_live": 0.125})
+
+    state_a = state
+    for i in range(3, 5):
+        state_a, _ = step(state_a, batch_at(i), jax.random.PRNGKey(100 + i))
+
+    _, _, _, _, template = _tiny_eg3d()
+    state_b, config = load_train_state(path, template)
+    assert float(config["aug_p_live"]) == 0.125
+    assert int(np.asarray(state_b["cur_nimg"])) == 3 * 2
+    for i in range(3, 5):
+        state_b, _ = step(state_b, batch_at(i), jax.random.PRNGKey(100 + i))
+
+    leaves_a = jax.tree_util.tree_leaves(jax.device_get(state_a))
+    leaves_b = jax.tree_util.tree_leaves(jax.device_get(state_b))
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.slow
+def test_eg3d_runner_resume_continues(tmp_path):
+    """Runner-level EG3D resume: a short run writes
+    training-state-latest.npz; a second _run_eg3d_training call with
+    --resume continues from the saved kimg (schedules ride the restored
+    counter) instead of restarting at 0, and extends the stats log."""
+    import json
+    import os
+
+    from gnerf_tpu.training.train import _run_eg3d_training
+
+    g = TriPlaneGenerator(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=8,
+        rendering_kwargs=dict(
+            TriPlaneGenerator().rendering_kwargs,
+            superresolution_module="SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+        ),
+    )
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    common = dict(
+        rendering_kwargs=g.rendering_kwargs, img_resolution=16,
+        dataset_name="synthetic", data="", real_data="", batch=8, gamma=1.0,
+        tick=0.008, seed=0, run_dir=run_dir, options={"t": 1},
+    )
+    _run_eg3d_training(g, kimg=0.016, **common)
+    ts = os.path.join(run_dir, "training-state-latest.npz")
+    assert os.path.exists(ts)
+    assert os.path.exists(os.path.join(run_dir, "network-snapshot-final.npz"))
+    n_ticks_1 = sum(1 for _ in open(os.path.join(run_dir, "stats.jsonl")))
+
+    _run_eg3d_training(g, kimg=0.032, resume=ts, **common)
+    stats = [json.loads(l) for l in open(os.path.join(run_dir, "stats.jsonl"))]
+    assert len(stats) > n_ticks_1
+    # The resumed segment's kimg coordinates continue past the first run's.
+    assert stats[-1]["kimg"] > stats[n_ticks_1 - 1]["kimg"]
+    from gnerf_tpu.utils import checkpoint as ckpt_lib
+
+    trees, cfg_out = ckpt_lib.load_checkpoint(ts)
+    # cur_nimg leaf persisted at the final value (0.032 kimg = 32 imgs).
+    flat = trees["train_state"]
+    sizes = [v for v in flat.values() if np.asarray(v).shape == ()]
+    assert any(int(np.asarray(v)) == 32 for v in sizes), (
+        "expected a scalar cur_nimg==32 leaf in the resumed checkpoint")

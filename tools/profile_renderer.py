@@ -34,6 +34,9 @@ def timeit(fn, *args, reps=5):
 
 
 def main():
+    import argparse
+    import dataclasses
+
     from gnerf_tpu.models import TriPlaneGenerator
     from gnerf_tpu.render import renderer as R
     from gnerf_tpu.render import importance as I
@@ -41,15 +44,29 @@ def main():
     from gnerf_tpu.render.ray_sampler import sample_rays
     from gnerf_tpu.utils import camera
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=48, choices=(48, 96),
+                    help="coarse (=importance) samples/ray: 48 = training-"
+                         "time sampling, 96 = flagship inference (doubled "
+                         "at load, the r3+ bench headline)")
+    ap.add_argument("--fpb", type=int, default=None,
+                    help="frames per batch (default: 15 at 48 spp, 10 at 96)")
+    args = ap.parse_args()
+
     dtype = jnp.bfloat16
     g = TriPlaneGenerator()
+    if args.spp != g.rendering_kwargs["depth_resolution"]:
+        g = dataclasses.replace(g, rendering_kwargs=dict(
+            g.rendering_kwargs, depth_resolution=args.spp,
+            depth_resolution_importance=args.spp))
     params = g.init(jax.random.PRNGKey(0))
     z = jax.random.normal(jax.random.PRNGKey(1), (1, g.z_dim))
     c0 = camera.pose_to_label(
         camera.lookat_sample(np.pi / 2, np.pi / 2, radius=2.7),
         camera.FFHQ_INTRINSICS,
     )
-    F = 15  # frames per batch (bench.py production setting)
+    # frames per batch (bench.py production setting for the sampling tier)
+    F = args.fpb or (15 if args.spp == 48 else 10)
     res = g.neural_rendering_resolution
     S = g.rendering_kwargs["depth_resolution"]
     opts = dict(g.rendering_kwargs)
@@ -234,7 +251,7 @@ def main():
 
     per_frame = {k: v / F for k, v in results.items()
                  if k not in ("pack_planes_ms",)}
-    print("=== per frame-batch (15 frames) ===")
+    print(f"=== per frame-batch ({F} frames, {S}+{S} spp) ===")
     for k, v in results.items():
         print(f"{k:28s} {v:9.3f}")
     print("=== per frame ===")

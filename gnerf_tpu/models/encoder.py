@@ -65,10 +65,18 @@ def _bn_apply(
     eps: float = 1e-5,
 ):
     """BatchNorm2d. Returns (y, new_state). In training mode, batch moments
-    are optionally pmean'ed over `axis_name` (SyncBatchNorm equivalent)."""
+    are optionally pmean'ed over `axis_name` (SyncBatchNorm equivalent).
+
+    Moments are always computed in fp32 (E[x^2]-E[x]^2 cancels
+    catastrophically in bf16), but the normalization is applied strictly in
+    x's dtype: fp32 stats/affine params must NOT promote a bf16 activation
+    chain — before r3 the fp32 `scale` param silently upcast everything
+    after the first BN, so the "bf16" encoder ran fp32 convs at HIGHEST
+    precision (the same bug class as r2's fp32-planes ToRGB find)."""
     if train:
-        mean = jnp.mean(x, axis=(0, 2, 3))
-        mean_sq = jnp.mean(jnp.square(x), axis=(0, 2, 3))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 2, 3))
+        mean_sq = jnp.mean(jnp.square(xf), axis=(0, 2, 3))
         if axis_name is not None:
             mean = lax.pmean(mean, axis_name)
             mean_sq = lax.pmean(mean_sq, axis_name)
@@ -83,7 +91,9 @@ def _bn_apply(
         mean, var = s["mean"], s["var"]
         new_state = s
     inv = lax.rsqrt(var + eps) * p["scale"]
-    y = (x - mean[None, :, None, None]) * inv[None, :, None, None] + p["bias"][None, :, None, None]
+    y = (x - mean.astype(x.dtype)[None, :, None, None]) \
+        * inv.astype(x.dtype)[None, :, None, None] \
+        + p["bias"].astype(x.dtype)[None, :, None, None]
     return y, new_state
 
 
@@ -222,6 +232,6 @@ class ResNeXt50Encoder:
         z = (
             jnp.matmul(x, params["fc"]["weight"].T.astype(x.dtype),
                        precision=dot_precision(x.dtype))
-            + params["fc"]["bias"]
+            + params["fc"]["bias"].astype(x.dtype)
         )
         return z, new_state

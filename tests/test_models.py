@@ -291,3 +291,43 @@ def test_encoder_stage_taps():
         assert feat.shape == shape, (k, feat.shape)
     z, _ = enc.apply(params, state, x, train=False)
     assert z.shape == (2, 8)
+
+
+def test_encoder_bf16_no_silent_promotion():
+    """A bf16 input must stay bf16 end-to-end through the encoder (train
+    AND eval): before r3, the fp32 BatchNorm affine params promoted every
+    activation after the first BN to fp32, so the "bf16" encoder silently
+    ran fp32 convs at HIGHEST precision (~36% of the flagship train step).
+    Also checks the bf16 output tracks the fp32 one."""
+    enc = ResNeXt50Encoder(out_dim=64)
+    p, s = enc.init(jax.random.PRNGKey(0))
+    x32 = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64))
+    x16 = x32.astype(jnp.bfloat16)
+
+    for train in (True, False):
+        z16, ns = enc.apply(p, s, x16, train=train)
+        assert z16.dtype == jnp.bfloat16, (train, z16.dtype)
+        # Intermediate taps too (the promotion happened mid-network).
+        for st in (0, 2):
+            f, _ = enc.apply(p, s, x16, train=train, stages=st)
+            assert f.dtype == jnp.bfloat16, (train, st, f.dtype)
+        # Running stats stay fp32.
+        for leaf in jax.tree_util.tree_leaves(ns):
+            assert leaf.dtype == jnp.float32
+
+    # Numerical sanity: the bf16 path must track fp32 closely at an early
+    # tap (one stage: cos > 0.99); through all 50 random-init conv/BN
+    # layers rounding amplifies (trained nets are far more stable —
+    # convergence in bf16 is covered by test_train_resume), so the final
+    # latent only gets a direction check.
+    def cos(a, b):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        return float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    f32, _ = enc.apply(p, s, x32, train=True, stages=1)
+    f16, _ = enc.apply(p, s, x16, train=True, stages=1)
+    assert cos(f32, f16) > 0.99
+    z32, _ = enc.apply(p, s, x32, train=True)
+    z16, _ = enc.apply(p, s, x16, train=True)
+    assert cos(z32, z16) > 0.5

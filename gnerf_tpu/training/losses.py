@@ -159,11 +159,13 @@ class VGG16LPIPS:
                 continue
             w = params[f"conv{conv_i}"]["weight"]
             b = params[f"conv{conv_i}"]["bias"]
+            # b cast: an fp32 bias must not promote a bf16 feature chain
+            # (it would silently run every following conv fp32/HIGHEST).
             x = lax.conv_general_dilated(
                 x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
                 precision=dot_precision(x.dtype),
-            ) + b[None, :, None, None]
+            ) + b.astype(x.dtype)[None, :, None, None]
             x = jax.nn.relu(x)
             if conv_i in _LPIPS_LAYERS:
                 feats.append(x)
@@ -181,15 +183,19 @@ class VGG16LPIPS:
         x = x / 255.0 * 2.0 - 1.0
         pre = params.get("preprocess")
         if pre is not None:
-            x = (x - pre["shift"][None, :, None, None]) / pre["scale"][None, :, None, None]
+            x = (x - pre["shift"].astype(x.dtype)[None, :, None, None]) \
+                / pre["scale"].astype(x.dtype)[None, :, None, None]
         feats = self.features(params, x)
         out = []
         for i, f in enumerate(feats):
             # Unit-normalize along channels, weight, flatten with 1/sqrt(HW)
             # so that squared-diff-sum == sum_l mean_hw ||w*(df)||^2.
-            norm = jnp.sqrt(jnp.sum(jnp.square(f), axis=1, keepdims=True) + 1e-10)
-            f = f / norm
-            f = f * params[f"lin{i}"][None, :, None, None]
+            # The channel square-sum accumulates in fp32 (bf16 loses ~1%);
+            # the result is cast back so a bf16 chain stays bf16.
+            norm = jnp.sqrt(jnp.sum(jnp.square(f.astype(jnp.float32)),
+                                    axis=1, keepdims=True) + 1e-10)
+            f = f / norm.astype(f.dtype)
+            f = f * params[f"lin{i}"].astype(f.dtype)[None, :, None, None]
             n, c, h, w = f.shape
             out.append((f / math.sqrt(h * w)).reshape(n, -1))
         return jnp.concatenate(out, axis=1)
@@ -200,7 +206,9 @@ def lpips_distance(vgg: VGG16LPIPS, params: dict, a: jax.Array, b: jax.Array) ->
     0..255 convention internally)."""
     fa = vgg.apply(params, (a + 1) * 255 * 0.5)
     fb = vgg.apply(params, (b + 1) * 255 * 0.5)
-    return jnp.sum(jnp.square(fa - fb), axis=1)
+    # Final reduction over ~millions of embedding dims: accumulate fp32
+    # even when the feature chain ran bf16.
+    return jnp.sum(jnp.square((fa - fb).astype(jnp.float32)), axis=1)
 
 
 def load_lpips(path: str) -> tuple[VGG16LPIPS, dict, dict]:

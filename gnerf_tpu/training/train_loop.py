@@ -137,11 +137,16 @@ def make_train_step(
     `training_loop.py:388-437`)."""
     res = cfg.neural_rendering_resolution
 
-    if cfg.remat_lpips:
-        _lpips = jax.checkpoint(
-            lambda pv, a, b: L.lpips_distance(vgg, pv, a, b))
-    else:
-        _lpips = lambda pv, a, b: L.lpips_distance(vgg, pv, a, b)
+    # The VGG feature chain runs in the training dtype (bf16 under --dtype
+    # bf16, like the backbone/SR; the reference's vgg16 runs fp16 on GPU).
+    # Before r3 the fp32 loss images fed it unconverted, so the LPIPS
+    # fwd+bwd silently ran fp32 convs at HIGHEST precision (~9% of the
+    # flagship step). Distances still accumulate fp32 (losses.py).
+    def _lpips_cast(pv, a, b):
+        return L.lpips_distance(vgg, pv, a.astype(cfg.dtype),
+                                b.astype(cfg.dtype))
+
+    _lpips = jax.checkpoint(_lpips_cast) if cfg.remat_lpips else _lpips_cast
 
     def recon_terms(real, fake, params_vgg):
         l1 = jnp.abs(real - fake).mean(axis=(1, 2, 3))

@@ -186,3 +186,32 @@ def test_random_fallback_warns(capsys):
     assert not pretrained
     assert "RANDOM" in capsys.readouterr().out
     assert "conv0" in params
+
+
+def test_lpips_bf16_no_silent_promotion():
+    """A bf16 input must stay bf16 through the VGG feature chain (before
+    r3 the fp32 conv bias promoted everything after conv0 to fp32 —
+    HIGHEST-precision convs in the 'bf16' train step), while the distance
+    reduction accumulates fp32 and tracks the fp32 result."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnerf_tpu.training.losses import VGG16LPIPS, lpips_distance
+
+    vgg = VGG16LPIPS(resize_to=32)
+    p = vgg.init(jax.random.PRNGKey(0))
+    a32 = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 32, 32)) * 255
+    b32 = jax.random.uniform(jax.random.PRNGKey(2), (2, 3, 32, 32)) * 255
+
+    e16 = vgg.apply(p, a32.astype(jnp.bfloat16))
+    assert e16.dtype == jnp.bfloat16
+    for f in vgg.features(p, a32.astype(jnp.bfloat16)):
+        assert f.dtype == jnp.bfloat16
+
+    d32 = lpips_distance(vgg, p, a32 / 127.5 - 1, b32 / 127.5 - 1)
+    d16 = lpips_distance(vgg, p, (a32 / 127.5 - 1).astype(jnp.bfloat16),
+                         (b32 / 127.5 - 1).astype(jnp.bfloat16))
+    assert d16.dtype == jnp.float32  # fp32 accumulation
+    np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
+                               rtol=0.08, atol=1e-4)

@@ -40,9 +40,15 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
     )
     enc = ResNeXt50Encoder(out_dim=g.z_dim)
     params_g = trees.get("G_ema", trees.get("G"))
-    params_e = trees["E"]
+    params_e = trees.get("E")
+    # EG3D pretraining snapshots carry G_ema/G/D but no encoder: evaluate
+    # the GAN GENERATIVELY (sample z, poses from the dataset's label
+    # distribution, Frechet distance vs the real set) — the reference's
+    # fid50k_full semantics (its `metrics` package import is broken,
+    # reference train.py:31; implemented here).
+    generative = params_e is None
     state_e = trees.get("E_state")
-    if state_e is None:
+    if state_e is None and not generative:
         _, state_e = enc.init(jax.random.PRNGKey(0))
     if lpips_weights:
         from .losses import load_lpips
@@ -52,21 +58,32 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
         vgg = VGG16LPIPS()
         params_vgg = trees.get("VGG") or vgg.init(jax.random.PRNGKey(1))
 
+    # Size the held-out set from the ACTUAL synthesized output (pure shape
+    # inference, no FLOPs): equals g.img_resolution at the flagship configs,
+    # but reduced-scale configs legitimately emit smaller images (the SR
+    # variants pin their reference output size via __post_init__ asserts
+    # while the spatial size flows through dynamically).
+    ws_s = jax.ShapeDtypeStruct((1, g.num_ws, g.w_dim), jnp.float32)
+    c_s = jax.ShapeDtypeStruct((1, 25), jnp.float32)
+    out_res = int(jax.eval_shape(
+        lambda p, w, c: g.synthesis(p, w, c, noise_mode="none"),
+        params_g, ws_s, c_s)["image"].shape[-1])
+
     if dataset_name == "synthetic":
-        dataset = SyntheticDataset(resolution=g.img_resolution, size=max_items)
+        dataset = SyntheticDataset(resolution=out_res, size=max_items)
     elif dataset_name == "afhqv2":
         from .dataset import Afhqv2TestDataset
 
         dataset = Afhqv2TestDataset(real_path=real_data, max_size=max_items,
-                                    resolution=g.img_resolution)
+                                    resolution=out_res)
     elif dataset_name == "shapenet":
         from .dataset import ShapeNetTestDataset
 
         dataset = ShapeNetTestDataset(real_path=real_data, max_size=max_items,
-                                      resolution=g.img_resolution)
+                                      resolution=out_res)
     else:
         dataset = TestDataset(real_path=real_data, max_size=max_items,
-                              resolution=g.img_resolution)
+                              resolution=out_res)
 
     @jax.jit
     def eval_batch(params_e, state_e, params_g, params_vgg, batch_data):
@@ -86,6 +103,14 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
         ws = g.mapping(params_g, z, c)
         return g.synthesis(params_g, ws, c, noise_mode="none")["image"]
 
+    @jax.jit
+    def gen_batch(params_g, z, c):
+        # Unconditional sample at psi=1 (the fid50k convention: no
+        # truncation), poses drawn from the dataset's label distribution.
+        ws = g.mapping(params_g, z, c)
+        return g.synthesis(params_g, ws, c, noise_mode="none")["image"]
+
+    collect_frames = bool(inception_weights) or generative
     results = []
     real_frames, fake_frames = [], []
     n = min(max_items, len(dataset))
@@ -93,8 +118,19 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
         items = [dataset[i] for i in range(start, start + batch)]
         bd = {k: jnp.asarray(v) for k, v in collate(items).items()
               if k in ("condition_image", "loss_image", "loss_c")}
+        if generative:
+            z = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(0), start),
+                (batch, g.z_dim))
+            fake = gen_batch(params_g, z,
+                             bd["loss_c"].astype(jnp.float32))
+            real_frames.append(
+                np.asarray(bd["loss_image"], np.float32) / 127.5 - 1.0)
+            fake_frames.append(np.asarray(fake, np.float32))
+            print(f"[{start + batch}/{n}] sampled")
+            continue
         m = eval_batch(params_e, state_e, params_g, params_vgg, bd)
-        if inception_weights:
+        if collect_frames:
             real_frames.append(
                 np.asarray(bd["loss_image"], np.float32) / 127.5 - 1.0)
             fake_frames.append(np.asarray(
@@ -104,9 +140,10 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
               " ".join(f"{k}={v:.4f}" for k, v in results[-1].items()))
 
     summary = {
-        k: float(np.mean([r[k] for r in results])) for k in results[0]
+        k: float(np.mean([r[k] for r in results])) for k in (
+            results[0] if results else ())
     }
-    summary["num_items"] = len(results) * batch
+    summary["num_items"] = max(len(results), len(real_frames)) * batch
     if inception_weights:
         # Canonical FID over the held-out set: pinned pretrained pool-3
         # InceptionV3 features (tools/convert_inception.py).
@@ -116,6 +153,19 @@ def run_eval(network: str, real_data: str = "", dataset_name: str = "synthetic",
         _, params_inc = load_inception(inception_weights)
         feature_fn = make_inception_feature_fn(params_inc)
         summary["fid"] = frechet_feature_distance(
+            feature_fn, real_frames, fake_frames)
+    elif generative:
+        # No pinned inception features available: fall back to a Frechet
+        # distance over the VGG embedding — comparable across runs of THIS
+        # framework, but NOT canonical FID (and meaningless if the VGG is
+        # random-init; loud by design).
+        from .metrics import frechet_feature_distance, make_vgg_feature_fn
+
+        print("WARNING: generative eval without --inception-weights — "
+              "reporting Frechet distance over VGG features "
+              "(frechet_vgg), NOT canonical FID")
+        feature_fn = make_vgg_feature_fn(vgg, params_vgg)
+        summary["frechet_vgg"] = frechet_feature_distance(
             feature_fn, real_frames, fake_frames)
     print(json.dumps(summary))
     if out:

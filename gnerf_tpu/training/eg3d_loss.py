@@ -139,6 +139,8 @@ def neural_resolution_schedule(cur_nimg: float, cfg: EG3DLossConfig) -> int:
         return initial
     fade = max(cfg.neural_rendering_resolution_fade_kimg, 1e-8) * 1e3
     alpha = min(float(cur_nimg) / fade, 1.0)
+    if alpha >= 1.0:
+        return int(final)  # exact even when final is not a bucket multiple
     res = int(np.rint(initial * (1 - alpha) + final * alpha))
     b = max(int(cfg.res_bucket), 1)
     res = int(np.rint(res / b)) * b

@@ -282,6 +282,13 @@ def test_neural_resolution_schedule():
 
     none_cfg = EG3DLossConfig(neural_rendering_resolution=64)
     assert neural_resolution_schedule(10**9, none_cfg) == 64
+    # Endpoints are exact even when final is NOT a bucket multiple.
+    odd = EG3DLossConfig(neural_rendering_resolution=64,
+                         neural_rendering_resolution_final=100,
+                         neural_rendering_resolution_fade_kimg=10.0,
+                         res_bucket=8)
+    assert neural_resolution_schedule(10_000, odd) == 100
+    assert neural_resolution_schedule(0, odd) == 64
     # Downward fade also clips into [final, initial].
     down = EG3DLossConfig(neural_rendering_resolution=128,
                           neural_rendering_resolution_final=64,

@@ -310,6 +310,15 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         for s in (signal.SIGTERM, signal.SIGINT)
     }
 
+    tb_writer = None
+    if rank == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_writer = SummaryWriter(run_dir)
+        except Exception as err:  # pragma: no cover
+            print("Skipping tfevents export:", err)
+
     collector = Collector()
     cur_nimg = resume_nimg
     tick_idx = int(cur_nimg // max(tick * 1000, 1))
@@ -369,6 +378,11 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                       f"sec/tick {now - tick_start:<7.1f} {msg}")
                 collector.write_jsonl(os.path.join(run_dir, "stats.jsonl"),
                                       extra={"kimg": cur_nimg / 1000})
+                if tb_writer is not None:
+                    for name, v in fields.items():
+                        tb_writer.add_scalar(name, v["mean"],
+                                             global_step=cur_nimg)
+                    tb_writer.flush()
                 # Disk-full tolerance (reference `training_loop.py:562-564`).
                 try:
                     host = jax.device_get(state)

@@ -255,6 +255,8 @@ def test_eg3d_runner_resume_continues(tmp_path):
     ts = os.path.join(run_dir, "training-state-latest.npz")
     assert os.path.exists(ts)
     assert os.path.exists(os.path.join(run_dir, "network-snapshot-final.npz"))
+    # TensorBoard export (same surface as the G-NeRF loop).
+    assert any(f.startswith("events.out.tfevents") for f in os.listdir(run_dir))
     n_ticks_1 = sum(1 for _ in open(os.path.join(run_dir, "stats.jsonl")))
 
     _run_eg3d_training(g, kimg=0.032, resume=ts, **common)

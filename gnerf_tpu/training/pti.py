@@ -195,3 +195,111 @@ def run_pti(
         state, stats = step(state, batch, k)
         history.append(float(stats["Loss/pti/total"]))
     return state["params_g"], history
+
+
+def run_pti_cli(network: str, data: str = "", dataset_name: str = "synthetic",
+                outdir: str = "runs/pti", steps: int = 350,
+                max_items: int = 4, lpips_weights: str = "",
+                locality: bool = False, seed: int = 0):
+    """CLI driver — the reference `train_generator/train.py` surface: load a
+    checkpoint, take the first `max_items` held-out identities as a
+    multi-image coaching batch (pivots from the encoder — the reference's
+    `w_projector` import is broken, `base_coach.py:11`), tune G with the SR
+    module frozen, save the tuned snapshot."""
+    import os
+
+    import numpy as np
+
+    from ..models import ResNeXt50Encoder
+    from ..utils import checkpoint as ckpt_lib
+    from .dataset import SyntheticDataset, TestDataset, collate
+
+    trees, config = ckpt_lib.load_checkpoint(network)
+    gen_cfg = (config or {}).get("generator", {})
+    g = TriPlaneGenerator(**gen_cfg) if gen_cfg else TriPlaneGenerator()
+    params_g = trees.get("G_ema", trees.get("G"))
+    if "E" not in trees:
+        raise ValueError("PTI needs an encoder for the pivot latents; the "
+                         "checkpoint has no 'E' tree")
+    enc = ResNeXt50Encoder(out_dim=g.z_dim)
+    params_e, state_e = trees["E"], trees.get("E_state")
+    if state_e is None:
+        _, state_e = enc.init(jax.random.PRNGKey(0))
+
+    if lpips_weights:
+        vgg, params_vgg, _ = L.load_lpips(lpips_weights)
+    else:
+        vgg = L.VGG16LPIPS()
+        params_vgg = trees.get("VGG") or vgg.init(jax.random.PRNGKey(1))
+        if "VGG" not in trees:
+            print("WARNING: no pretrained LPIPS weights — PTI will optimize "
+                  "a random-VGG perceptual objective (pass --lpips-weights)")
+
+    # Actual output resolution (reduced configs legitimately undershoot
+    # g.img_resolution; see training/eval.py).
+    ws_s = jax.ShapeDtypeStruct((1, g.num_ws, g.w_dim), jnp.float32)
+    c_s = jax.ShapeDtypeStruct((1, 25), jnp.float32)
+    out_res = int(jax.eval_shape(
+        lambda p, w, c: g.synthesis(p, w, c, noise_mode="none"),
+        params_g, ws_s, c_s)["image"].shape[-1])
+
+    if dataset_name == "synthetic":
+        ds = SyntheticDataset(resolution=out_res, size=max_items)
+    else:
+        ds = TestDataset(real_path=data, max_size=max_items,
+                         resolution=out_res)
+    items = [ds[i] for i in range(min(max_items, len(ds)))]
+    bd = collate(items)
+    imgs = jnp.asarray(bd["condition_image"], jnp.float32) / 127.5 - 1.0
+    loss_image = jnp.asarray(bd["loss_image"], jnp.float32) / 127.5 - 1.0
+    loss_c = jnp.asarray(bd["loss_c"], jnp.float32)
+
+    z, _ = enc.apply(params_e, state_e, imgs, train=False)
+    ws = g.mapping(params_g, z, loss_c)
+
+    cfg = PTIConfig(
+        neural_rendering_resolution=g.neural_rendering_resolution,
+        use_locality_reg=locality,
+    )
+    tuned, history = run_pti(g, params_g, vgg, params_vgg, ws, loss_image,
+                             loss_c, num_steps=steps, cfg=cfg,
+                             rng=jax.random.PRNGKey(seed))
+    os.makedirs(outdir, exist_ok=True)
+    out_path = os.path.join(outdir, "network-pti.npz")
+    ckpt_lib.save_checkpoint(
+        out_path,
+        {"G_ema": tuned, "E": params_e, "E_state": state_e},
+        config=dict(config or {}, pti={"steps": steps,
+                                       "num_items": len(items),
+                                       "locality": locality}),
+    )
+    print(f"PTI: loss {history[0]:.4f} -> {history[-1]:.4f} over {steps} "
+          f"steps on {len(items)} image(s); saved {out_path}")
+    return out_path, history
+
+
+def main():  # pragma: no cover - thin click wrapper over run_pti_cli
+    import click
+
+    @click.command()
+    @click.option("--network", required=True,
+                  help="checkpoint with G_ema + E (npz)")
+    @click.option("--data", default="", help="held-out image folder")
+    @click.option("--dataset_name", default="synthetic")
+    @click.option("--outdir", default="runs/pti")
+    @click.option("--steps", type=int, default=350,
+                  help="reference hyperparameters.max_pti_steps")
+    @click.option("--max_items", type=int, default=4,
+                  help="images in the multi-id coaching batch")
+    @click.option("--lpips-weights", "lpips_weights", default="")
+    @click.option("--locality", type=bool, default=False,
+                  help="ball-holder locality regularizer")
+    @click.option("--seed", type=int, default=0)
+    def _cli(**kw):
+        run_pti_cli(**kw)
+
+    _cli()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

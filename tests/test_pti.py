@@ -103,3 +103,47 @@ def test_pti_locality_regularizer_runs():
     tuned, history = run_pti(g, params_g, vgg, params_vgg, ws, target, c,
                              num_steps=2, cfg=cfg)
     assert len(history) == 2 and all(np.isfinite(history))
+
+
+@pytest.mark.slow
+def test_run_pti_cli_e2e(tmp_path):
+    """The train_generator CLI surface: checkpoint in, tuned snapshot out;
+    SR stays frozen, non-SR params move, loss history is finite."""
+    from gnerf_tpu.models import ResNeXt50Encoder
+    from gnerf_tpu.training.pti import run_pti_cli
+    from gnerf_tpu.utils import checkpoint as ckpt_lib
+
+    g, _ = _tiny()
+    params_g = g.init(jax.random.PRNGKey(0))
+    enc = ResNeXt50Encoder(out_dim=g.z_dim)
+    params_e, state_e = enc.init(jax.random.PRNGKey(1))
+    gen_cfg = dict(
+        z_dim=16, w_dim=16, img_resolution=128, plane_resolution=16,
+        channel_base=256, channel_max=32, mapping_layers=2,
+        neural_rendering_resolution=8,
+        rendering_kwargs=g.rendering_kwargs,
+    )
+    net = str(tmp_path / "snap.npz")
+    ckpt_lib.save_checkpoint(
+        net, {"G_ema": params_g, "E": params_e, "E_state": state_e},
+        config={"generator": gen_cfg})
+
+    out_path, history = run_pti_cli(
+        network=net, dataset_name="synthetic", outdir=str(tmp_path / "pti"),
+        steps=3, max_items=2)
+    assert len(history) == 3 and all(np.isfinite(h) for h in history)
+    trees, cfg_out = ckpt_lib.load_checkpoint(out_path)
+    tuned = trees["G_ema"]
+    assert cfg_out["pti"]["num_items"] == 2
+    # SR frozen bit-exactly; at least one non-SR leaf moved.
+    for (ka, la), (kb, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(params_g["superresolution"])[0],
+        jax.tree_util.tree_flatten_with_path(tuned["superresolution"])[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    moved = any(
+        not np.allclose(np.asarray(la), np.asarray(lb))
+        for la, lb in zip(jax.tree_util.tree_leaves(params_g["backbone"]),
+                          jax.tree_util.tree_leaves(tuned["backbone"]))
+    )
+    assert moved

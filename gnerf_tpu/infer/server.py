@@ -351,8 +351,15 @@ class GNerfService:
             return len(self._identities)
 
 
-def load_service(network: str, max_identities: int = 16) -> GNerfService:
-    """Build a service from a gnerf_tpu checkpoint npz."""
+def load_service(network: str, max_identities: int = 16,
+                 double_sampling: bool = True) -> GNerfService:
+    """Build a service from a gnerf_tpu checkpoint npz.
+
+    `double_sampling` doubles the samples/ray at load — the reference's
+    inference convention (`gen_videos.py:127-128`, same as our gen_videos
+    CLI). Disable for ~2x renderer throughput at training-time quality."""
+    import dataclasses as _dc
+
     from ..models import ResNeXt50Encoder, TriPlaneGenerator
     from ..utils import checkpoint as ckpt
 
@@ -364,6 +371,12 @@ def load_service(network: str, max_identities: int = 16) -> GNerfService:
             k: (tuple(v) if isinstance(v, list) else v) for k, v in rk.items()
         }
     g = TriPlaneGenerator(**gen_cfg)
+    if double_sampling:
+        rk2 = dict(g.rendering_kwargs)
+        rk2["depth_resolution"] = int(rk2["depth_resolution"] * 2)
+        rk2["depth_resolution_importance"] = int(
+            rk2["depth_resolution_importance"] * 2)
+        g = _dc.replace(g, rendering_kwargs=rk2)
     params_g = trees.get("G_ema", trees.get("G"))
     enc = params_e = state_e = None
     if "E" in trees:
@@ -485,8 +498,13 @@ def main():
     @click.option("--port", type=int, default=8000)
     @click.option("--host", default="127.0.0.1")
     @click.option("--max-identities", type=int, default=16)
-    def _main(network, port, host, max_identities):
-        serve(load_service(network, max_identities=max_identities),
+    @click.option("--double-sampling", type=bool, default=True,
+                  help="double samples/ray at load (reference inference "
+                       "convention, gen_videos.py:127-128); false = ~2x "
+                       "renderer throughput at training-time quality")
+    def _main(network, port, host, max_identities, double_sampling):
+        serve(load_service(network, max_identities=max_identities,
+                           double_sampling=double_sampling),
               port=port, host=host)
 
     _main()

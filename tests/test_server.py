@@ -291,6 +291,12 @@ def test_load_service_from_checkpoint(tmp_path):
     }}
     ckpt.save_checkpoint(path, {"G_ema": params_g}, config=config)
     svc = load_service(path)
+    # Reference inference convention: samples/ray doubled at load
+    # (gen_videos.py:127-128) unless double_sampling=False.
+    assert svc.g.rendering_kwargs["depth_resolution"] == 8
+    assert svc.g.rendering_kwargs["depth_resolution_importance"] == 8
+    svc_fast = load_service(path, double_sampling=False)
+    assert svc_fast.g.rendering_kwargs["depth_resolution"] == 4
     ident = svc.encode_seed(0)
     frame = svc.render_frame(ident)
     assert frame.shape == (32, 32, 3)

@@ -105,6 +105,15 @@ class ResNeXt50Encoder:
     groups: int = 32
     width_per_group: int = 4
     layers: tuple = (3, 4, 6, 3)
+    # Run the grouped 3x3 convs as ONE dense conv with a block-diagonal
+    # kernel. feature_group_count=32 gives each group only 4..32 channels —
+    # far below the MXU's 128x128 tile, so the systolic array runs at
+    # 3-25% lane utilization. The dense formulation does `groups`x the
+    # FLOPs but at full MXU occupancy; mathematically identical (off-block
+    # weights are exactly zero, and gradients flow back through the
+    # constant-eye einsum onto the grouped parameter only). Measured on the
+    # v5e before flipping the default (see BASELINE.md encoder row).
+    groups_as_dense: bool = True
 
     # Bottleneck output channels per stage.
     _planes = (64, 128, 256, 512)
@@ -159,13 +168,28 @@ class ResNeXt50Encoder:
 
     # -- apply --------------------------------------------------------------
 
+    def _grouped_conv2(self, x, w, stride):
+        """The bottleneck's grouped 3x3 conv, either natively grouped or as a
+        block-diagonal dense kernel (see `groups_as_dense`)."""
+        g = self.groups
+        if not self.groups_as_dense or g == 1:
+            return _conv(x, w, stride=stride, padding=1, groups=g)
+        width, ig, kh, kw = w.shape
+        og = width // g
+        w5 = w.reshape(g, og, ig, kh, kw)
+        # dense[g*og+o, k*ig+i] = w[g*og+o, i] iff k == g (block diagonal).
+        dense = jnp.einsum(
+            "goihw,gk->gokihw", w5, jnp.eye(g, dtype=w.dtype)
+        ).reshape(width, width, kh, kw)
+        return _conv(x, dense, stride=stride, padding=1)
+
     def _block_apply(self, p, s, x, planes, stride, train, axis_name):
         ns: State = {}
         identity = x
         out = _conv(x, p["conv1"])
         out, ns["bn1"] = _bn_apply(p["bn1"], s["bn1"], out, train, axis_name)
         out = jax.nn.relu(out)
-        out = _conv(out, p["conv2"], stride=stride, padding=1, groups=self.groups)
+        out = self._grouped_conv2(out, p["conv2"], stride)
         out, ns["bn2"] = _bn_apply(p["bn2"], s["bn2"], out, train, axis_name)
         out = jax.nn.relu(out)
         out = _conv(out, p["conv3"])

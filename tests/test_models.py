@@ -221,6 +221,44 @@ def test_encoder_forward_shapes_and_state():
     assert not np.allclose(np.asarray(ns2["bn1"]["mean"]), np.asarray(s["bn1"]["mean"]))
 
 
+def test_encoder_groups_as_dense_matches_grouped():
+    """The block-diagonal dense formulation of the grouped 3x3 conv is
+    mathematically identical to feature_group_count=32 (values AND
+    gradients) — it exists purely for MXU lane utilization. Compared
+    per-block: across a 16-block random-init network, per-conv
+    summation-order rounding is chaotically amplified by train-mode BN +
+    ReLU boundary flips, so a whole-net fp32 comparison is meaningless."""
+    import dataclasses as dc
+
+    enc_g = ResNeXt50Encoder(out_dim=16, groups_as_dense=False)
+    enc_d = dc.replace(enc_g, groups_as_dense=True)
+
+    # One bottleneck per stage width (128/256/512/1024 -> 4..32 ch/group).
+    for stage, planes in enumerate(enc_g._planes):
+        in_c = 64 if stage == 0 else enc_g._planes[stage - 1] * 4
+        p, s = enc_g._block_init(jax.random.PRNGKey(stage), in_c, planes, 2)
+        x = jax.random.normal(jax.random.PRNGKey(10 + stage), (2, in_c, 8, 8))
+
+        def loss(enc, params):
+            y, _ = enc._block_apply(params, s, x, planes, 2, True, None)
+            return jnp.sum(y * y)
+
+        vg, gg = jax.value_and_grad(lambda q: loss(enc_g, q))(p)
+        vd, gd = jax.value_and_grad(lambda q: loss(enc_d, q))(p)
+        np.testing.assert_allclose(float(vg), float(vd), rtol=1e-5)
+        fa = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gg)}
+        fb = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gd)}
+        assert fa.keys() == fb.keys()
+        for name in fa:
+            np.testing.assert_allclose(
+                np.asarray(fa[name]), np.asarray(fb[name]),
+                rtol=1e-4, atol=1e-4,
+                err_msg=f"stage {stage} grad mismatch at {name}",
+            )
+
+
 def test_superresolution_2x_wiring():
     sr = SuperresolutionHybrid2X(channels=8, img_resolution=128, use_noise=True)
     p = sr.init(jax.random.PRNGKey(0))

@@ -19,6 +19,7 @@ batch you feed.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Callable, Mapping, Optional
 
 import jax
@@ -197,15 +198,107 @@ def run_pti(
     return state["params_g"], history
 
 
+def project_w(
+    g: TriPlaneGenerator,
+    params_g,
+    vgg: L.VGG16LPIPS,
+    params_vgg,
+    target_image: jax.Array,   # [N, 3, R, R] in [-1, 1]
+    target_c: jax.Array,       # [N, 25]
+    num_steps: int = 500,
+    w_avg_samples: int = 600,
+    initial_lr: float = 0.01,
+    initial_noise_factor: float = 0.05,
+    lr_rampup_frac: float = 0.05,
+    lr_rampdown_frac: float = 0.25,
+    noise_ramp_frac: float = 0.75,
+    l2_lambda: float = 0.0,
+    start_ws: Optional[jax.Array] = None,
+    neural_rendering_resolution: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+) -> tuple[jax.Array, list]:
+    """w-space projector: optimize a single w per image (broadcast to all
+    num_ws layers) so G(w) reconstructs the target — PTI's "first inversion"
+    step. The reference imports `training.projectors.w_projector` for this
+    but the module is MISSING from its tree (`base_coach.py:11`); this is
+    the standard StyleGAN2/PTI recipe implemented natively: pivot starts at
+    w_avg (estimated from `w_avg_samples` mapping draws, or at `start_ws`
+    e.g. the identity encoder's output), Adam with rampup/cosine-rampdown lr,
+    and decaying gaussian w-noise scaled by the measured w_std.
+
+    Returns (ws [N, num_ws, w_dim], loss history).
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    N = target_image.shape[0]
+    res = neural_rendering_resolution or g.neural_rendering_resolution
+
+    k_avg, rng = jax.random.split(rng)
+    z_samples = jax.random.normal(k_avg, (w_avg_samples, g.z_dim))
+    w_samples = g.mapping(
+        params_g, z_samples, jnp.zeros((w_avg_samples, g.c_dim))
+    )[:, :1, :]                                  # [S, 1, w_dim]
+    w_avg = jnp.mean(w_samples, axis=0, keepdims=True)       # [1, 1, w]
+    w_std = jnp.sqrt(jnp.mean(jnp.sum(
+        jnp.square(w_samples - w_avg), axis=-1)))            # scalar
+
+    if start_ws is not None:
+        w_opt = start_ws[:, :1, :]
+    else:
+        w_opt = jnp.broadcast_to(w_avg, (N, 1, g.w_dim))
+
+    opt = optax.scale_by_adam()
+    opt_state = opt.init(w_opt)
+
+    def loss_fn(w, key, noise_scale):
+        w_noised = w + noise_scale * jax.random.normal(key, w.shape)
+        ws = jnp.broadcast_to(w_noised, (N, g.num_ws, g.w_dim))
+        out = g.synthesis(params_g, ws, target_c,
+                          neural_rendering_resolution=res, noise_mode="none")
+        synth = out["image"]
+        loss = L.lpips_distance(vgg, params_vgg, target_image, synth).mean()
+        if l2_lambda > 0:
+            loss = loss + l2_lambda * jnp.mean(
+                jnp.square(target_image - synth))
+        return loss
+
+    @jax.jit
+    def step(w, opt_state, key, lr, noise_scale):
+        loss, grads = jax.value_and_grad(loss_fn)(w, key, noise_scale)
+        updates, opt_state = opt.update(grads, opt_state)
+        return w - lr * updates, opt_state, loss
+
+    history = []
+    for i in range(num_steps):
+        t = i / max(num_steps, 1)
+        # Upstream projector schedule: quadratic noise decay, cosine lr
+        # rampdown with a linear rampup.
+        noise_scale = float(w_std) * initial_noise_factor * max(
+            0.0, 1.0 - t / noise_ramp_frac) ** 2
+        lr_ramp = min(1.0, (1.0 - t) / lr_rampdown_frac)
+        lr_ramp = 0.5 - 0.5 * math.cos(lr_ramp * math.pi)
+        lr_ramp = lr_ramp * min(1.0, t / lr_rampup_frac) if lr_rampup_frac \
+            else lr_ramp
+        lr = initial_lr * lr_ramp
+        rng, k = jax.random.split(rng)
+        w_opt, opt_state, loss = step(
+            w_opt, opt_state, k, jnp.float32(lr), jnp.float32(noise_scale))
+        history.append(float(loss))
+    ws = jnp.broadcast_to(w_opt, (N, g.num_ws, g.w_dim))
+    return ws, history
+
+
 def run_pti_cli(network: str, data: str = "", dataset_name: str = "synthetic",
                 outdir: str = "runs/pti", steps: int = 350,
                 max_items: int = 4, lpips_weights: str = "",
-                locality: bool = False, seed: int = 0):
+                locality: bool = False, seed: int = 0,
+                pivot: str = "encoder", project_steps: int = 500):
     """CLI driver — the reference `train_generator/train.py` surface: load a
     checkpoint, take the first `max_items` held-out identities as a
-    multi-image coaching batch (pivots from the encoder — the reference's
-    `w_projector` import is broken, `base_coach.py:11`), tune G with the SR
-    module frozen, save the tuned snapshot."""
+    multi-image coaching batch, tune G with the SR module frozen, save the
+    tuned snapshot. Pivots come from the identity encoder (the G-NeRF way)
+    or, with --pivot project, from the w-space projector (`project_w` — the
+    PTI first-inversion step whose module the reference's coaches import
+    but never shipped, `base_coach.py:11`)."""
     import os
 
     import numpy as np
@@ -218,13 +311,18 @@ def run_pti_cli(network: str, data: str = "", dataset_name: str = "synthetic",
     gen_cfg = (config or {}).get("generator", {})
     g = TriPlaneGenerator(**gen_cfg) if gen_cfg else TriPlaneGenerator()
     params_g = trees.get("G_ema", trees.get("G"))
-    if "E" not in trees:
-        raise ValueError("PTI needs an encoder for the pivot latents; the "
-                         "checkpoint has no 'E' tree")
+    if "E" not in trees and pivot == "encoder":
+        raise ValueError("PTI with --pivot encoder needs an encoder for the "
+                         "pivot latents; the checkpoint has no 'E' tree "
+                         "(use --pivot project to optimize the pivot "
+                         "directly)")
     enc = ResNeXt50Encoder(out_dim=g.z_dim)
-    params_e, state_e = trees["E"], trees.get("E_state")
-    if state_e is None:
-        _, state_e = enc.init(jax.random.PRNGKey(0))
+    if "E" in trees:
+        params_e, state_e = trees["E"], trees.get("E_state")
+        if state_e is None:
+            _, state_e = enc.init(jax.random.PRNGKey(0))
+    else:
+        params_e, state_e = enc.init(jax.random.PRNGKey(0))
 
     if lpips_weights:
         vgg, params_vgg, _ = L.load_lpips(lpips_weights)
@@ -254,8 +352,21 @@ def run_pti_cli(network: str, data: str = "", dataset_name: str = "synthetic",
     loss_image = jnp.asarray(bd["loss_image"], jnp.float32) / 127.5 - 1.0
     loss_c = jnp.asarray(bd["loss_c"], jnp.float32)
 
-    z, _ = enc.apply(params_e, state_e, imgs, train=False)
-    ws = g.mapping(params_g, z, loss_c)
+    if pivot == "project":
+        start = None
+        if "E" in trees:
+            z0, _ = enc.apply(params_e, state_e, imgs, train=False)
+            start = g.mapping(params_g, z0, loss_c)
+        ws, proj_hist = project_w(
+            g, params_g, vgg, params_vgg, loss_image, loss_c,
+            num_steps=project_steps, start_ws=start,
+            rng=jax.random.PRNGKey(seed + 1),
+        )
+        print(f"project_w: loss {proj_hist[0]:.4f} -> {proj_hist[-1]:.4f} "
+              f"over {project_steps} steps")
+    else:
+        z, _ = enc.apply(params_e, state_e, imgs, train=False)
+        ws = g.mapping(params_g, z, loss_c)
 
     cfg = PTIConfig(
         neural_rendering_resolution=g.neural_rendering_resolution,
@@ -295,6 +406,13 @@ def main():  # pragma: no cover - thin click wrapper over run_pti_cli
     @click.option("--locality", type=bool, default=False,
                   help="ball-holder locality regularizer")
     @click.option("--seed", type=int, default=0)
+    @click.option("--pivot", type=click.Choice(["encoder", "project"]),
+                  default="encoder",
+                  help="pivot latents: identity encoder (G-NeRF) or w-space "
+                       "projection (PTI first inversion)")
+    @click.option("--project_steps", type=int, default=500,
+                  help="w-projector steps when --pivot project "
+                       "(reference hyperparameters.first_inv_steps)")
     def _cli(**kw):
         run_pti_cli(**kw)
 

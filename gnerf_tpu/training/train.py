@@ -163,7 +163,8 @@ def check_fade_sr_compat(g, params_g, cfg, img_resolution: int) -> None:
 def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        data, real_data, batch, gamma, kimg, tick, seed,
                        run_dir, options, aug="noaug", aug_p=0.0,
-                       ada_target=0.6, ray_shards=1, freezed=0,
+                       ada_target=0.6, ada_kimg=500.0, ray_shards=1,
+                       freezed=0,
                        neural_rendering_resolution_final=None,
                        neural_rendering_resolution_fade_kimg=1000.0,
                        style_mixing_prob=0.0, resume=""):
@@ -202,6 +203,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         aug=aug,
         aug_p=aug_p,
         ada_target=ada_target,
+        ada_kimg=ada_kimg,
         freeze_d_layers=freezed,
         neural_rendering_resolution_final=neural_rendering_resolution_final,
         neural_rendering_resolution_fade_kimg=(
@@ -467,6 +469,7 @@ def run_training(
     aug: str = "noaug",
     aug_p: float = 0.0,
     ada_target: float = 0.6,
+    ada_kimg: float = 500.0,
     ray_shards: int = 1,
     freezed: int = 0,
     neural_rendering_resolution_final: int = 0,
@@ -565,7 +568,8 @@ def run_training(
         "num_devices": len(jax.devices()),
         "ray_shards": ray_shards,
         "lpips_pretrained": lpips_pretrained,
-        "aug": {"mode": aug, "p0": aug_p, "ada_target": ada_target},
+        "aug": {"mode": aug, "p0": aug_p, "ada_target": ada_target,
+                "ada_kimg": ada_kimg},
         "neural_rendering_resolution_final": (
             neural_rendering_resolution_final or None),
         "neural_rendering_resolution_fade_kimg": (
@@ -599,7 +603,7 @@ def run_training(
         return _run_eg3d_training(
             g, rendering_kwargs, img_resolution, dataset_name, data,
             real_data, batch, gamma, kimg, tick, seed, run_dir, options,
-            aug=aug, aug_p=aug_p, ada_target=ada_target,
+            aug=aug, aug_p=aug_p, ada_target=ada_target, ada_kimg=ada_kimg,
             ray_shards=ray_shards, freezed=freezed,
             neural_rendering_resolution_final=(
                 neural_rendering_resolution_final or None),
@@ -890,6 +894,10 @@ def run_training(
                    "objective (reference loss.py:37).")
 @click.option("--ada_target", type=float, default=0.6,
               help="ADA controller target for E[sign(D(real))]")
+@click.option("--ada_kimg", type=float, default=500.0,
+              help="ADA controller sweep speed: kimg for a full 0->1 p "
+                   "traversal (upstream ADA heuristic constant; lower = "
+                   "faster adaptation)")
 def main(**kwargs):
     run_training(**kwargs)
 

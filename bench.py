@@ -118,14 +118,29 @@ def measure(g, params, planes, ws, cs, z, c0, n_frames, frames_per_batch,
                 jnp.sum(l.astype(jnp.float32))
                 for l in jax.tree_util.tree_leaves(pl))
 
+        # One chunk END-TO-END (render + SR, no lax.map): isolates the SR
+        # cost from any whole-clip program overhead (scheduling/remat under
+        # the full 6-chunk live range) — at 96 spp the two diverge.
+        @jax.jit
+        def chunk_checksum(params, planes, ws, cb):
+            wsb = jnp.broadcast_to(ws, (frames_per_batch,) + ws.shape[1:])
+            img = g.render_planes(params, planes, cb, wsb,
+                                  noise_mode="const", dtype=dtype)["image"]
+            return jnp.sum(img)
+
         cb = cs[:frames_per_batch]
         vol_dt = timed(vol_checksum, params, planes, cb)
+        chunk_dt = timed(chunk_checksum, params, planes, ws, cb)
         prep_dt = timed(prepare_checksum, params, z, c0)
         vol_frame_ms = vol_dt / frames_per_batch * 1e3
+        chunk_frame_ms = chunk_dt / frames_per_batch * 1e3
         out["stage_ms"] = {
             "frame_total": round(out["frame_ms"], 3),
+            "single_chunk_total": round(chunk_frame_ms, 3),
             "volumetric_render": round(vol_frame_ms, 3),
-            "superresolution": round(max(out["frame_ms"] - vol_frame_ms, 0.0), 3),
+            "superresolution": round(max(chunk_frame_ms - vol_frame_ms, 0.0), 3),
+            "clip_program_overhead": round(
+                out["frame_ms"] - chunk_frame_ms, 3),
             "identity_prepare_amortized": round(prep_dt * 1e3, 3),
         }
 

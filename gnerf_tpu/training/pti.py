@@ -8,10 +8,12 @@ image(s) at a fixed pivot latent, optionally with the "ball holder"
 locality regularizer that keeps the tuned generator close to the original
 in a neighborhood of the pivot.
 
-Functional re-design: one jitted `pti_step`; the reference's broken
-`training.projectors.w_projector` import (`base_coach.py:11`) has no
-equivalent here because the pivot comes from the identity encoder (the
-G-NeRF way) or from a user-provided ws. Single- and multi-image coaching
+Functional re-design: one jitted `pti_step`; the pivot latent comes from
+the identity encoder (the G-NeRF way), from a user-provided ws, or from
+`project_w` — a native w-space projector (the module the reference's
+`base_coach.py:11` tries to import from `training.projectors.w_projector`
+but which is absent from the reference repo; re-derived here from the
+standard StyleGAN2/PTI recipe). Single- and multi-image coaching
 (reference single_id/multi_id coaches) are both just the shape of the
 batch you feed.
 """

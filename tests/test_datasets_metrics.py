@@ -278,8 +278,19 @@ def test_imread_enforces_resolution_native_or_pil(tmp_path):
     files are resized to `resolution`) and, when the native C++ runtime is
     built, its decode of an already-right-size file is pixel-identical to
     PIL (both are libjpeg/libpng underneath)."""
+    import importlib
+    import subprocess
+
     from gnerf_tpu.training.dataset import _imread_rgb_chw
     from gnerf_tpu.utils import native_loader
+
+    # Build the .so if this test runs before test_native_loader's build
+    # fixture (alphabetical collection order — on a fresh checkout the
+    # gitignored .so does not exist yet). make is a no-op when built.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(["make", "-C", os.path.join(repo, "native")],
+                   check=False, capture_output=True)
+    importlib.reload(native_loader)
 
     p_big = str(tmp_path / "big.png")
     _write_img(p_big, h=64, w=64, seed=3)

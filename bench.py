@@ -60,9 +60,14 @@ def timed(fn, *args, reps=3):
 
 
 def measure(g, params, planes, ws, cs, z, c0, n_frames, frames_per_batch,
-            dtype, with_stages):
+            dtype, with_stages, loop_mode="map"):
     """fps + per-stage ms for generator `g` (whatever sampling its
-    rendering_kwargs carry) on a pre-built n_frames-pose orbit."""
+    rendering_kwargs carry) on a pre-built n_frames-pose orbit.
+
+    loop_mode: 'map' iterates chunks with lax.map (one rolled loop body —
+    the r1/r2 convention); 'unroll' emits one program copy per chunk inside
+    the same jit (probes whether the 96-spp whole-clip overhead is a
+    rolled-loop scheduling/layout artifact rather than real work)."""
     from gnerf_tpu.render import render_rays, sample_rays
 
     assert n_frames % frames_per_batch == 0, (n_frames, frames_per_batch)
@@ -76,7 +81,11 @@ def measure(g, params, planes, ws, cs, z, c0, n_frames, frames_per_batch,
             return out["image"]
 
         chunks = cs.reshape(n_frames // frames_per_batch, frames_per_batch, -1)
-        out = jax.lax.map(chunk, chunks)
+        if loop_mode == "unroll":
+            out = jnp.stack([chunk(chunks[i])
+                             for i in range(n_frames // frames_per_batch)])
+        else:
+            out = jax.lax.map(chunk, chunks)
         return out.reshape((n_frames,) + out.shape[2:])
 
     @jax.jit

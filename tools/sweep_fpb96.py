@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--fpbs", type=str, default="4,5,6,12,15,20")
     ap.add_argument("--stages-at", type=int, default=0,
                     help="also record stage attribution at this fpb")
+    ap.add_argument("--loop", type=str, default="map",
+                    choices=["map", "unroll", "both"],
+                    help="clip chunk-loop form (bench.measure loop_mode); "
+                         "'both' measures each fpb both ways")
     args = ap.parse_args()
 
     dtype = jnp.bfloat16
@@ -71,21 +75,25 @@ def main():
     n = args.frames
     cs = jnp.concatenate([pose(i) for i in range(n)], axis=0)
 
+    loops = ["map", "unroll"] if args.loop == "both" else [args.loop]
     for fpb in [int(x) for x in args.fpbs.split(",")]:
         if n % fpb:
             print(json.dumps({"fpb": fpb, "skipped": f"{n} % {fpb} != 0"}))
             continue
-        try:
-            r = bench.measure(g96, params, planes, ws, cs, z, c0, n, fpb,
-                              dtype, with_stages=(fpb == args.stages_at))
-        except Exception as err:  # OOM etc. — record and continue
-            print(json.dumps({"fpb": fpb, "error": str(err)[:200]}))
-            continue
-        row = {"fpb": fpb, "fps": round(r["fps"], 2),
-               "frame_ms": round(r["frame_ms"], 2)}
-        if r.get("stage_ms"):
-            row["stage_ms"] = r["stage_ms"]
-        print(json.dumps(row), flush=True)
+        for loop_mode in loops:
+            try:
+                r = bench.measure(g96, params, planes, ws, cs, z, c0, n, fpb,
+                                  dtype, with_stages=(fpb == args.stages_at),
+                                  loop_mode=loop_mode)
+            except Exception as err:  # OOM etc. — record and continue
+                print(json.dumps({"fpb": fpb, "loop": loop_mode,
+                                  "error": str(err)[:200]}))
+                continue
+            row = {"fpb": fpb, "loop": loop_mode, "fps": round(r["fps"], 2),
+                   "frame_ms": round(r["frame_ms"], 2)}
+            if r.get("stage_ms"):
+                row["stage_ms"] = r["stage_ms"]
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

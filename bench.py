@@ -70,6 +70,7 @@ def measure(g, params, planes, ws, cs, z, c0, n_frames, frames_per_batch,
     rolled-loop scheduling/layout artifact rather than real work)."""
     from gnerf_tpu.render import render_rays, sample_rays
 
+    assert loop_mode in ("map", "unroll"), loop_mode
     assert n_frames % frames_per_batch == 0, (n_frames, frames_per_batch)
 
     def clip(params, planes, ws, cs):

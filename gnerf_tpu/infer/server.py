@@ -6,8 +6,10 @@ ONCE, keep the jitted render program and per-identity prepared state
 (mapping + packed tri-planes — the expensive, reusable part) resident,
 and serve frames over a minimal stdlib HTTP API:
 
-    POST /encode   {"image": <base64 png/jpg>} | {"seed": int}
-                   -> {"identity": "<id>"}           (runs E + backbone once)
+    POST /encode   {"image": <base64 png/jpg>[, "landmarks": 68x[x,y],
+                    "align_size": 512]} | {"seed": int}
+                   -> {"identity": "<id>"}           (runs E + backbone once;
+                   with "landmarks", the raw photo is FFHQ-aligned first)
     POST /render   {"identity": "...", "yaw": float, "pitch": float,
                     "radius": 2.7, "fov": null}
                    -> image/png frame (512^2)
@@ -434,8 +436,18 @@ def make_handler(service: GNerfService):
 
                         raw = base64.b64decode(req["image"])
                         img = np.asarray(
-                            Image.open(io.BytesIO(raw)).convert("RGB")
-                        ).transpose(2, 0, 1)
+                            Image.open(io.BytesIO(raw)).convert("RGB"))
+                        if "landmarks" in req:
+                            # Raw photo + 68 landmarks -> FFHQ-aligned crop
+                            # (the input E was trained on; reference
+                            # utils/alignment.py:29-114 sans dlib).
+                            from ..utils.alignment import align_face
+
+                            lm = np.asarray(req["landmarks"], np.float64)
+                            img = align_face(
+                                img, lm,
+                                output_size=int(req.get("align_size", 512)))
+                        img = img.transpose(2, 0, 1)
                         ident = service.encode_image(img)
                     self._json(200, {"identity": ident})
                 elif self.path == "/render":

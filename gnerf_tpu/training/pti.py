@@ -293,7 +293,8 @@ def run_pti_cli(network: str, data: str = "", dataset_name: str = "synthetic",
                 outdir: str = "runs/pti", steps: int = 350,
                 max_items: int = 4, lpips_weights: str = "",
                 locality: bool = False, seed: int = 0,
-                pivot: str = "encoder", project_steps: int = 500):
+                pivot: str = "encoder", project_steps: int = 500,
+                align_lm: str = ""):
     """CLI driver — the reference `train_generator/train.py` surface: load a
     checkpoint, take the first `max_items` held-out identities as a
     multi-image coaching batch, tune G with the SR module frozen, save the
@@ -342,6 +343,23 @@ def run_pti_cli(network: str, data: str = "", dataset_name: str = "synthetic",
     out_res = int(jax.eval_shape(
         lambda p, w, c: g.synthesis(p, w, c, noise_mode="none"),
         params_g, ws_s, c_s)["image"].shape[-1])
+
+    if align_lm:
+        # Raw (un-cropped) photos + landmark files -> FFHQ-aligned crops,
+        # the preprocessing the reference does with dlib
+        # (utils/alignment.py:29-114); landmarks come from files here.
+        from ..utils.alignment import align_folder
+
+        if dataset_name == "synthetic" or not data:
+            raise ValueError("--align_lm needs --data (a raw-photo folder)")
+        aligned_dir = os.path.join(outdir, "aligned")
+        written = align_folder(data, align_lm, aligned_dir,
+                               output_size=max(out_res, 512))
+        if not written:
+            raise ValueError(f"no (image, landmark) pairs matched between "
+                             f"{data} and {align_lm}")
+        print(f"aligned {len(written)} image(s) -> {aligned_dir}")
+        data = aligned_dir
 
     if dataset_name == "synthetic":
         ds = SyntheticDataset(resolution=out_res, size=max_items)
@@ -415,6 +433,10 @@ def main():  # pragma: no cover - thin click wrapper over run_pti_cli
     @click.option("--project_steps", type=int, default=500,
                   help="w-projector steps when --pivot project "
                        "(reference hyperparameters.first_inv_steps)")
+    @click.option("--align_lm", default="",
+                  help="folder of 68-point landmark files (json/npy/txt, "
+                       "same stems as --data images): FFHQ-align raw "
+                       "photos before encoding")
     def _cli(**kw):
         run_pti_cli(**kw)
 

@@ -288,8 +288,8 @@ def test_imread_enforces_resolution_native_or_pil(tmp_path):
     # fixture (alphabetical collection order — on a fresh checkout the
     # gitignored .so does not exist yet). make is a no-op when built.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    subprocess.run(["make", "-C", os.path.join(repo, "native")],
-                   check=False, capture_output=True)
+    build = subprocess.run(["make", "-C", os.path.join(repo, "native")],
+                           check=False, capture_output=True, text=True)
     importlib.reload(native_loader)
 
     p_big = str(tmp_path / "big.png")
@@ -303,7 +303,8 @@ def test_imread_enforces_resolution_native_or_pil(tmp_path):
     want = _imread_rgb_chw(p_ok)  # PIL passthrough at file size
     np.testing.assert_array_equal(got, want)
     assert native_loader.native_available(), (
-        "native loader should be built in CI (make -C native)")
+        "native loader should be built in CI (make -C native); build rc="
+        f"{build.returncode}, stderr:\n{build.stderr[-2000:]}")
 
 
 def test_paired_dataset_dispatch(tmp_path):

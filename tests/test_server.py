@@ -261,6 +261,23 @@ def test_http_api_end_to_end(tiny_service):
         except urllib.error.HTTPError as err:
             raised = err.code == 404
         assert raised
+
+        # raw-photo + landmarks encode path: the server FFHQ-aligns before
+        # running E (reference utils/alignment.py semantics, dlib-free).
+        # Last in the test: with max_identities=2 this evicts `ident`.
+        big = np.random.RandomState(2).randint(0, 255, (128, 128, 3),
+                                               np.uint8)
+        lm = np.zeros((68, 2))
+        lm[36:42] = [52, 56]
+        lm[42:48] = [76, 56]
+        lm[48], lm[54] = [56, 80], [72, 80]
+        buf = io.BytesIO()
+        Image.fromarray(big).save(buf, format="PNG")
+        with post("/encode",
+                  {"image": base64.b64encode(buf.getvalue()).decode(),
+                   "landmarks": lm.tolist(), "align_size": 32}) as r:
+            ident3 = json.loads(r.read())["identity"]
+        assert ident3 not in (ident, ident2)
     finally:
         httpd.shutdown()
 

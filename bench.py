@@ -179,8 +179,15 @@ def main():
     ap.add_argument("--frames", type=int, default=60,
                     help="orbit length (half the reference's 120-frame "
                          "video job — same amortization regime)")
-    ap.add_argument("--fpb96", type=int, default=10,
-                    help="frames per jitted chunk at 96+96 sampling")
+    ap.add_argument("--fpb96", type=int, default=15,
+                    help="frames per jitted chunk at 96+96 sampling "
+                         "(measured optimum r4, with loop96=unroll)")
+    ap.add_argument("--loop96", choices=["map", "unroll"], default="unroll",
+                    help="chunk-loop form at 96+96. The r4 sweep "
+                         "(tools/sweep_fpb96.py, BASELINE.md) found the r3 "
+                         "default (fpb=10, map) hit an XLA rolled-loop "
+                         "pathology costing +82%% frame time; map and unroll "
+                         "are within noise at every other fpb")
     ap.add_argument("--fpb48", type=int, default=15,
                     help="frames per jitted chunk at 48+48 sampling "
                          "(measured optimum r2/r3)")
@@ -230,26 +237,29 @@ def main():
     n_frames = args.frames
     cs = jnp.concatenate([pose(i) for i in range(n_frames)], axis=0)
 
-    # OOM ladder: 96+96 doubles the per-chunk point count vs the measured
-    # 48-spp optimum (fpb=15); fpb=10 should fit (points/chunk < the known-
-    # good 48-spp fpb=30 run), but fall back rather than fail the bench.
+    # OOM/compile ladder: fall back to smaller chunks (map form — known
+    # good at every fpb except 10) rather than fail the bench. fpb=20
+    # unroll is known to exceed the remote compiler's capacity (r4 sweep).
     r96 = None
-    fpb_candidates = [args.fpb96] + [f for f in (6, 5, 3)
-                                     if f < args.fpb96 and n_frames % f == 0]
-    for fpb in fpb_candidates:
+    candidates = [(args.fpb96, args.loop96)] + [
+        (f, "map") for f in (12, 6, 5, 3)
+        if (f, "map") != (args.fpb96, args.loop96) and n_frames % f == 0]
+    for fpb, loop_mode in candidates:
         try:
             r96 = measure(g96, params, planes, ws, cs, z, c0, n_frames,
-                          fpb, dtype, with_stages=True)
+                          fpb, dtype, with_stages=True, loop_mode=loop_mode)
             break
         except Exception as err:
             msg = str(err)
-            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg \
-                    or "exceeds the limit" in msg:
-                print(f"# fpb={fpb} OOM, retrying smaller", file=sys.stderr)
+            if ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+                    or "exceeds the limit" in msg
+                    or "tpu_compile_helper" in msg):
+                print(f"# fpb={fpb}/{loop_mode} failed "
+                      f"(OOM/compile), retrying smaller", file=sys.stderr)
                 continue
             raise
     if r96 is None:
-        raise RuntimeError("all 96-spp chunk sizes exhausted memory")
+        raise RuntimeError("all 96-spp chunk configs exhausted memory")
     r48 = None
     if not args.skip_48:
         r48 = measure(g, params, planes, ws, cs, z, c0, n_frames,

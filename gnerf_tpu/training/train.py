@@ -475,6 +475,7 @@ def run_training(
     neural_rendering_resolution_final: int = 0,
     neural_rendering_resolution_fade_kimg: float = 1000.0,
     style_mixing_prob: float = 0.0,
+    preset: str = "",
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -508,9 +509,13 @@ def run_training(
     init_distributed()
     rank, world = process_info()
 
-    preset = RENDERING_PRESETS[dataset_name]
+    # --preset decouples the rendering/SR/resolution recipe from the data
+    # source (default: the dataset's own preset) — e.g. `--dataset_name
+    # synthetic --preset ffhq` trains the FLAGSHIP shape (512^2, 8XDC,
+    # 48+48 spp) on procedural data for shape-faithful perf/quality runs.
+    preset_cfg = RENDERING_PRESETS[preset or dataset_name]
     rendering_kwargs = dict(DEFAULT_RENDERING_KWARGS)
-    rendering_kwargs.update(preset)
+    rendering_kwargs.update(preset_cfg)
     # Reference train.py:317-323 knobs.
     rendering_kwargs.update(
         c_gen_conditioning_zero=not gen_pose_cond,
@@ -521,7 +526,7 @@ def run_training(
     )
     if sr_module:
         rendering_kwargs["superresolution_module"] = sr_module
-    img_resolution = preset["image_resolution"]
+    img_resolution = preset_cfg["image_resolution"]
 
     g = TriPlaneGenerator(
         z_dim=z_dim, w_dim=w_dim, img_resolution=img_resolution,
@@ -550,6 +555,7 @@ def run_training(
 
     options = {
         "dataset_name": dataset_name,
+        "preset": preset or dataset_name,
         "config": dataclasses.asdict(
             dataclasses.replace(cfg, dtype=str(np.dtype(cfg.dtype)))
         ),
@@ -894,6 +900,11 @@ def run_training(
                    "objective (reference loss.py:37).")
 @click.option("--ada_target", type=float, default=0.6,
               help="ADA controller target for E[sign(D(real))]")
+@click.option("--preset", type=str, default="",
+              help="rendering/SR/resolution recipe override (a "
+                   "RENDERING_PRESETS key; default = dataset_name's own). "
+                   "E.g. --dataset_name synthetic --preset ffhq trains the "
+                   "flagship 512^2/8XDC/48+48 shape on procedural data")
 @click.option("--ada_kimg", type=float, default=500.0,
               help="ADA controller sweep speed: kimg for a full 0->1 p "
                    "traversal (upstream ADA heuristic constant; lower = "

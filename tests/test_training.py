@@ -183,3 +183,24 @@ def test_synthetic_dataset_contract():
     batch = next(data_iterator(ds, 4))
     assert batch["condition_image"].shape == (4, 3, 32, 32)
     assert batch["factor"].shape == (4,)
+
+
+def test_run_training_preset_override(tmp_path, capsys):
+    """--preset decouples the rendering recipe from the data source: a
+    synthetic-data run with --preset ffhq must resolve the FLAGSHIP shape
+    (512^2 output, 8XDC SR, 48+48 spp) in its dumped options."""
+    import json as _json
+
+    from gnerf_tpu.training.train import run_training
+
+    run_training(str(tmp_path), dataset_name="synthetic", preset="ffhq",
+                 batch=4, kimg=1, tick=1, dry_run=True)
+    out = capsys.readouterr().out
+    options = _json.loads(out[out.index("{") : out.rindex("}") + 1])
+    assert options["preset"] == "ffhq"
+    gen = options["generator"]
+    assert gen["img_resolution"] == 512
+    rk = gen["rendering_kwargs"]
+    assert rk["superresolution_module"] == "SuperresolutionHybrid8XDC"
+    assert rk["depth_resolution"] == 48
+    assert rk["depth_resolution_importance"] == 48

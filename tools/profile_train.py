@@ -19,6 +19,17 @@ stage table partitions the frame:
   d_branch             depth-D loss incl. R1 (nested grad), f+b
   full_step            the production jitted train_step (both Adams)
 
+Finer synthesis attribution (--synth-split, VERDICT r3 item 3 — the
+0.364 s synthesis branch is 56% of the step):
+  render_coarse_fwd_bwd   one 48-spp pass + march only (importance=0), f+b
+                          (render_fwd_bwd - this = fine pass + merge)
+  gather_fwd_bwd          packed tri-plane sampling alone, f+b (the row
+                          gather + its one-scatter VJP)
+  synthesis_noremat       synthesis f+b with remat off (difference vs
+                          synthesis_fwd_bwd = recompute cost, IF it fits)
+  synthesis_remat3        per-stage remat (backbone / render / SR each
+                          checkpointed separately) — candidate policy
+
 Run on the real chip:  python tools/profile_train.py --batch 4 --dtype bf16
 """
 
@@ -50,6 +61,11 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--dtype", choices=["fp32", "bf16"], default="fp32")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--synth-split", action="store_true",
+                    help="finer synthesis attribution (coarse pass, packed "
+                         "gather f+b, remat ablations)")
+    ap.add_argument("--skip-encoder-split", action="store_true",
+                    help="skip the per-stage encoder rows (6 extra compiles)")
     args = ap.parse_args()
 
     import jax
@@ -112,7 +128,7 @@ def main():
     # after each residual stage (differences = per-stage cost), plus the
     # train=False ablation (running stats, no batch-moment sweeps) to bound
     # the BatchNorm-statistics share of the BN-bound floor argument.
-    for k in range(5):
+    for k in range(0 if args.skip_encoder_split else 5):
         @jax.jit
         def e_fb_k(params_e, state_e, x, k=k):
             def f(p):
@@ -124,16 +140,18 @@ def main():
         results[f"e_fwd_bwd_stages{k}"] = timed(
             e_fb_k, state.params_e, state.state_e, id_images, reps=args.reps)
 
-    @jax.jit
-    def e_fb_eval_bn(params_e, state_e, x):
-        def f(p):
-            z, _ = enc.apply(p, state_e, x, train=False)
-            return jnp.sum(z)
+    if not args.skip_encoder_split:
+        @jax.jit
+        def e_fb_eval_bn(params_e, state_e, x):
+            def f(p):
+                z, _ = enc.apply(p, state_e, x, train=False)
+                return jnp.sum(z)
 
-        return grad_norm(jax.grad(f)(params_e))
+            return grad_norm(jax.grad(f)(params_e))
 
-    results["e_fwd_bwd_running_bn"] = timed(
-        e_fb_eval_bn, state.params_e, state.state_e, id_images, reps=args.reps)
+        results["e_fwd_bwd_running_bn"] = timed(
+            e_fb_eval_bn, state.params_e, state.state_e, id_images,
+            reps=args.reps)
 
     # Shared activations for the stage boundaries (computed once, reused).
     z0, _ = enc.apply(state.params_e, state.state_e, id_images, train=False)
@@ -223,6 +241,104 @@ def main():
         synth_fb, state.params_g, z0, loss_c, jax.random.PRNGKey(2),
         reps=args.reps)
 
+    if args.synth_split:
+        import dataclasses as _dc
+
+        from gnerf_tpu.render.renderer import (pack_planes,
+                                               sample_packed_planes)
+
+        # Coarse-only render f+b: one 48-spp pass + march, no importance
+        # resample / fine pass / merge. render_fwd_bwd minus this = the
+        # second pass plus importance sampling plus the sort-merge.
+        rk_coarse = dict(g.rendering_kwargs, depth_resolution_importance=0)
+        g_coarse = _dc.replace(g, rendering_kwargs=rk_coarse)
+
+        @jax.jit
+        def render_coarse_fb(params_g, planes, c, ws):
+            def f(pl):
+                out = g_coarse.render_planes(
+                    params_g, pl, c, ws, neural_rendering_resolution=res,
+                    noise_mode="const", dtype=cfg.dtype, superres=False)
+                return (jnp.sum(out["feature_image"].astype(jnp.float32))
+                        + jnp.sum(out["image_depth"]))
+
+            return jnp.sum(jnp.square(jax.grad(f)(planes).astype(jnp.float32)))
+
+        results["render_coarse_fwd_bwd"] = timed(
+            render_coarse_fb, state.params_g, planes0, loss_c, ws0,
+            reps=args.reps)
+
+        # Packed gather f+b in isolation, at the per-step point count
+        # (B x res^2 x 96 samples over both passes): the row gather forward
+        # + its VJP (ONE 128-lane row scatter-add + dense unpack).
+        packed0 = jax.block_until_ready(pack_planes(planes0))
+        n_pts = res * res * (g.rendering_kwargs["depth_resolution"]
+                             + g.rendering_kwargs["depth_resolution_importance"])
+        pts = jax.random.uniform(jax.random.PRNGKey(5), (B, n_pts, 3),
+                                 minval=-0.4, maxval=0.4)
+
+        @jax.jit
+        def gather_fb(rows, pts):
+            def f(r):
+                pk = packed0._replace(rows=r)
+                feats = sample_packed_planes(
+                    pk, pts, box_warp=g.rendering_kwargs["box_warp"])
+                return jnp.sum(feats.astype(jnp.float32))
+
+            return jnp.sum(jnp.square(jax.grad(f)(rows).astype(jnp.float32)))
+
+        results["gather_fwd_bwd"] = timed(gather_fb, packed0.rows, pts,
+                                          reps=args.reps)
+
+        # Remat ablations: whole-synthesis checkpoint (production) vs none
+        # vs per-stage (backbone / render+SR boundaries saved).
+        def synth_with(remat_mode):
+            def fb(params_g, z, c, key):
+                def f(p):
+                    ws = g.mapping(p, z, c)
+                    if remat_mode == "stage3":
+                        bb = jax.checkpoint(
+                            lambda p_, w_, k_: g.backbone_planes(
+                                p_, w_, noise_mode="random", rng=k_,
+                                dtype=cfg.dtype, pack=True))
+                        rp = jax.checkpoint(
+                            lambda p_, pl_, c_, w_, k_: g.render_planes(
+                                p_, pl_, c_, w_,
+                                neural_rendering_resolution=res,
+                                noise_mode="random", rng=k_,
+                                dtype=cfg.dtype))
+                        k1, k2 = jax.random.split(key)
+                        planes = bb(p, ws, k1)
+                        out = rp(p, planes, c, ws, k2)
+                    else:
+                        def synth_(p_, ws_, c_, key_):
+                            return g.synthesis(
+                                p_, ws_, c_,
+                                neural_rendering_resolution=res,
+                                noise_mode="random", rng=key_,
+                                dtype=cfg.dtype)
+
+                        if remat_mode == "whole":
+                            synth_ = jax.checkpoint(synth_)
+                        out = synth_(p, ws, c, key)
+                    return (jnp.sum(out["image"].astype(jnp.float32))
+                            + jnp.sum(out["image_raw"].astype(jnp.float32)))
+
+                return grad_norm(jax.grad(f)(params_g))
+
+            return jax.jit(fb)
+
+        for mode, name in [("none", "synthesis_noremat"),
+                           ("stage3", "synthesis_remat3")]:
+            try:
+                results[name] = timed(synth_with(mode), state.params_g, z0,
+                                      loss_c, jax.random.PRNGKey(2),
+                                      reps=args.reps)
+            except Exception as err:  # OOM expected for 'none' at flagship
+                msg = str(err)
+                results[name] = ("OOM" if "RESOURCE_EXHAUSTED" in msg
+                                 or "Out of memory" in msg else msg[:120])
+
     # --- full production step -------------------------------------------
     step = jax.jit(step_fn, donate_argnums=())
 
@@ -235,7 +351,8 @@ def main():
 
     print(json.dumps({
         "batch": B, "dtype": args.dtype,
-        "stages_s": {k: round(v, 3) for k, v in results.items()},
+        "stages_s": {k: (round(v, 3) if isinstance(v, float) else v)
+                     for k, v in results.items()},
         "imgs_per_s_per_chip": round(B / results["full_step"], 3),
     }))
 

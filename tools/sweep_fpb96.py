@@ -6,6 +6,12 @@ where the 48-spp optimum (fpb=15) no longer holds: the first 96-spp bench
 ~21 ms/frame of whole-program overhead. This sweeps fpb in one process to
 find the 96-spp optimum.
 
+RESOLVED (r4 sweep on-device, results in BASELINE.md): the overhead was an
+XLA pathology specific to the (fpb=10, lax.map) combination — map@12 and
+unroll@10 are both fine (41.4 / 39.6 f/s vs 21.8), so neither chunk size
+nor loop form alone explains it. Optimum: fpb=15 unroll, 41.9 f/s (now the
+bench.py default); fpb=20 unroll exceeds the remote compiler's capacity.
+
     python tools/sweep_fpb96.py [--frames 60] [--fpbs 4,5,6,10,12,15,20]
 """
 

@@ -366,10 +366,12 @@ class TriPlaneGenerator:
         )
 
     def sample_mixed(self, params: Params, coordinates, directions, ws,
-                     noise_mode="const", rng=None) -> Mapping[str, jax.Array]:
+                     noise_mode="const", rng=None,
+                     dtype=jnp.float32) -> Mapping[str, jax.Array]:
         """Evaluate sigma/rgb at arbitrary 3D points given ws — the shape
         extraction path (reference `triplane.py:98-102`)."""
-        planes = self.backbone_planes(params, ws, noise_mode=noise_mode)
+        planes = self.backbone_planes(params, ws, noise_mode=noise_mode,
+                                      dtype=dtype)
         decoder = self.decoder
 
         def decode(feats, dirs):

@@ -81,6 +81,17 @@ class EG3DLossConfig:
     # networks_stylegan2.py:576-597): freeze the first N conv layers of D
     # counted in forward order from the highest-resolution block.
     freeze_d_layers: int = 0
+    # Compute dtype for the generator synthesis and discriminator conv
+    # stacks (the reference trains its D + SR blocks in fp16 with clamp,
+    # train.py:400-403). Compositing, losses, R1 accumulation and both
+    # optimizers stay fp32 regardless.
+    dtype: Any = jnp.float32
+    # Rematerialize the G synthesis under value_and_grad: at flagship scale
+    # (512^2, batch 4) the un-remat'd fp32 G branch needs 16.15 GB of HLO
+    # temps vs the v5e's 15.75 GB HBM (measured r4, profile_eg3d OOM dump —
+    # same failure mode TrainConfig.remat_synthesis fixed for the G-NeRF
+    # objective). Disable only for tiny-model debugging.
+    remat_synthesis: bool = True
 
 
 # The 'bgc' augmentation preset (blit + geometric + color) — the standard
@@ -220,9 +231,10 @@ def density_regularization(
     perturbed = initial + jax.random.normal(k2, initial.shape) * cfg.density_reg_p_dist
     all_coords = jnp.concatenate([initial, perturbed], axis=1)
     dirs = jax.random.normal(k3, all_coords.shape)
-    sigma = g.sample_mixed(params_g, all_coords, dirs, ws)["sigma"]
-    sigma_initial = sigma[:, :n]
-    sigma_perturbed = sigma[:, n:]
+    sigma = g.sample_mixed(params_g, all_coords, dirs, ws,
+                           dtype=cfg.dtype)["sigma"]
+    sigma_initial = sigma[:, :n].astype(jnp.float32)
+    sigma_perturbed = sigma[:, n:].astype(jnp.float32)
     return jnp.abs(sigma_initial - sigma_perturbed).mean() * cfg.density_reg
 
 
@@ -297,9 +309,17 @@ def make_eg3d_train_step(
         ws = mapping_apply(params_mapping, z, c_cond)
         ws = apply_style_mixing(mapping_apply, params_mapping, ws, g.z_dim,
                                 c_cond, k_mix, cfg.style_mixing_prob)
-        out = g.synthesis(params_g, ws, c, neural_rendering_resolution=res,
-                          noise_mode="random", rng=k_noise,
-                          rendering_kwargs=rendering_overrides)
+        def synth(params_g_, ws_, c_, key_):
+            return g.synthesis(params_g_, ws_, c_,
+                               neural_rendering_resolution=res,
+                               noise_mode="random", rng=key_, dtype=cfg.dtype,
+                               rendering_kwargs=rendering_overrides)
+
+        if cfg.remat_synthesis:
+            synth = jax.checkpoint(synth)
+        out = synth(params_g, ws, c, k_noise)
+        # D / the losses consume fp32 regardless of the synthesis dtype.
+        out = {k: v.astype(jnp.float32) for k, v in out.items()}
         return out, ws
 
     def run_d(params_d, img, c, rng, aug_p, res, blur_sigma=0.0,
@@ -322,7 +342,7 @@ def make_eg3d_train_step(
             img["image"] = pair[:, :3]
             img["image_raw"] = interpolate_bilinear(pair[:, 3:], res, res,
                                                     antialias=True)
-        return disc.apply(params_d, img, c)
+        return disc.apply(params_d, img, c, dtype=cfg.dtype)
 
     def g_loss_fn(params_g, params_d, z, c, rng, cur_nimg, blur_sigma, blur_size,
                   aug_p, res):

@@ -167,7 +167,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        freezed=0,
                        neural_rendering_resolution_final=None,
                        neural_rendering_resolution_fade_kimg=1000.0,
-                       style_mixing_prob=0.0, resume=""):
+                       style_mixing_prob=0.0, resume="", dtype="fp32"):
     """EG3D adversarial pretraining (z, c) -> image — the stage that
     produces the generator G-NeRF fine-tunes (reference loss.py spec,
     implemented live in eg3d_loss.py).
@@ -209,6 +209,9 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         neural_rendering_resolution_fade_kimg=(
             neural_rendering_resolution_fade_kimg),
         style_mixing_prob=style_mixing_prob,
+        # bf16 runs G synthesis + both D conv stacks in bfloat16
+        # (compositing, losses, R1 and the Adams stay fp32).
+        dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
     )
     # Mesh first: with --ray_shards > 1 the step itself needs the 'rays'
     # axis sharding (same DP x SP contract as the G-NeRF objective).
@@ -616,7 +619,7 @@ def run_training(
             neural_rendering_resolution_fade_kimg=(
                 neural_rendering_resolution_fade_kimg),
             style_mixing_prob=style_mixing_prob,
-            resume=resume,
+            resume=resume, dtype=dtype,
         )
 
     # Dataset.

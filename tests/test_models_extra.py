@@ -152,6 +152,48 @@ def test_eg3d_train_step_tiny():
     )
 
 
+def test_eg3d_train_step_tiny_bf16():
+    """cfg.dtype=bf16 runs G synthesis + both D stacks in bfloat16 (the
+    fp32 islands: losses, R1, Adams) — step stays finite, both nets move,
+    and the params/opt state remain fp32 (low precision is compute-only)."""
+    from gnerf_tpu.training.eg3d_loss import (
+        EG3DLossConfig,
+        init_eg3d_state,
+        make_eg3d_train_step,
+    )
+
+    g = _tiny_g()
+    disc = DualDiscriminator(c_dim=25, img_resolution=16, img_channels=3,
+                             channel_base=256, channel_max=32,
+                             mbstd_group_size=1)
+    cfg = EG3DLossConfig(neural_rendering_resolution=8,
+                         density_reg=0.25, density_reg_points=16,
+                         r1_gamma=1.0, dtype=jnp.bfloat16)
+    step, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
+    state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
+
+    batch = {
+        "z": jax.random.normal(jax.random.PRNGKey(1), (2, 16)),
+        "c": jax.random.normal(jax.random.PRNGKey(2), (2, 25)),
+        "real_image": jax.random.normal(jax.random.PRNGKey(3), (2, 3, 16, 16)),
+        "real_c": jax.random.normal(jax.random.PRNGKey(4), (2, 25)),
+    }
+    new_state, stats = jax.jit(step)(state, batch, jax.random.PRNGKey(5))
+    for k in ("Loss/G/total", "Loss/D/total", "Loss/G/density_reg",
+              "Loss/D/reg"):
+        assert np.isfinite(float(stats[k])), (k, stats[k])
+    for leaf in jax.tree_util.tree_leaves(new_state["params_g"]):
+        assert leaf.dtype != jnp.bfloat16
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state["params_g"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(new_state["params_g"])[0]),
+    )
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state["params_d"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(new_state["params_d"])[0]),
+    )
+
+
 def test_ada_controller_dynamics():
     """r_t-feedback p controller (upstream ADA heuristic): p climbs while
     D is too confident on reals (rt > target), decays when below, clips to

@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--aug", choices=["noaug", "ada", "fixed"], default="noaug")
     ap.add_argument("--blur", type=float, default=0.0,
                     help="blur_init_sigma (0 = no blur bucket)")
+    ap.add_argument("--dtype", choices=["fp32", "bf16"], default="fp32")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -56,6 +57,7 @@ def main():
         neural_rendering_resolution=g.neural_rendering_resolution,
         blur_init_sigma=args.blur, blur_fade_kimg=200 if args.blur else 0,
         aug=args.aug, aug_p=0.3,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
     )
     step_fn, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
     state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
@@ -85,7 +87,7 @@ def main():
               reps=args.reps)
     print(json.dumps({
         "workload": "EG3D adversarial step, flagship 512^2 + DualD(512)",
-        "batch": B, "aug": args.aug, "blur_size": size,
+        "batch": B, "aug": args.aug, "blur_size": size, "dtype": args.dtype,
         "step_s_scalar_fenced": round(t, 3),
         "imgs_per_s_per_chip": round(B / t, 3),
     }))

@@ -28,7 +28,8 @@ def _unnormalize(coord: jax.Array, size: int) -> jax.Array:
     return ((coord + 1.0) * size - 1.0) / 2.0
 
 
-def grid_sample_2d(features: jax.Array, coords: jax.Array) -> jax.Array:
+def grid_sample_2d(features: jax.Array, coords: jax.Array,
+                   lane_pack: bool | None = None) -> jax.Array:
     """Sample `features` at continuous `coords`.
 
     Args:
@@ -36,11 +37,22 @@ def grid_sample_2d(features: jax.Array, coords: jax.Array) -> jax.Array:
       coords:   [B, M, 2] sampling locations in [-1, 1]; coords[..., 0] is x
                 (indexes W), coords[..., 1] is y (indexes H) — the
                 torch.grid_sample convention.
+      lane_pack: pack P = 128 // C consecutive x-pixels into each gather row
+                (None = auto: on when C <= 16). TPU gather rows are padded
+                to 128 lanes, so a small-C channels-last operand wastes
+                128/C of its HBM footprint — e.g. the ADA augment warp's
+                [4, 2280, 2280, 6] operand ballooned 21.3x to 9.9 GB and
+                OOMed the flagship EG3D step (r4). Packing stores ~P*C of
+                128 lanes (126/128 at C=6) and selects the pixel within the
+                row with a fused mask-reduce. Bit-identical to the unpacked
+                path (the select has one nonzero).
 
     Returns:
       [B, M, C] sampled features (channels last; zeros outside the image).
     """
     B, C, H, W = features.shape
+    if lane_pack is None:
+        lane_pack = C <= 16
     x = _unnormalize(coords[..., 0].astype(jnp.float32), W)
     y = _unnormalize(coords[..., 1].astype(jnp.float32), H)
 
@@ -53,14 +65,35 @@ def grid_sample_2d(features: jax.Array, coords: jax.Array) -> jax.Array:
     x1 = x0 + 1
     y1 = y0 + 1
 
-    # [B, H*W, C]: gathers move contiguous C-rows.
-    flat = jnp.transpose(features, (0, 2, 3, 1)).reshape(B, H * W, C)
+    if lane_pack and 128 // C >= 2:
+        P = 128 // C
+        Wp = -(-W // P)  # ceil
+        padded = jnp.pad(features, ((0, 0), (0, 0), (0, 0), (0, Wp * P - W)))
+        # [B, H*Wp, P*C] rows: P consecutive x-pixels, channels minor.
+        flat = jnp.transpose(padded, (0, 2, 3, 1)).reshape(B, H * Wp, P * C)
+        lane_iota = jnp.arange(P, dtype=jnp.int32)
 
-    def corner(ix, iy):
-        inb = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-        idx = jnp.where(inb, iy * W + ix, 0)
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        return vals * inb[..., None].astype(flat.dtype)
+        def corner(ix, iy):
+            inb = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            cell = jnp.where(inb, iy * Wp + ix // P, 0)
+            g = jnp.take_along_axis(flat, cell[..., None], axis=1)
+            # Select the target pixel's C lanes: multiply by the one-hot
+            # pixel mask and reduce over P — fuses into the gather consumer,
+            # no [B, M, P, C] temp in HBM.
+            sel = (ix % P)[..., None] == lane_iota  # [B, M, P]
+            sel = sel & inb[..., None]
+            g = g.reshape(*g.shape[:-1], P, C)
+            return jnp.sum(g * sel[..., None].astype(g.dtype), axis=-2)
+
+    else:
+        # [B, H*W, C]: gathers move contiguous C-rows.
+        flat = jnp.transpose(features, (0, 2, 3, 1)).reshape(B, H * W, C)
+
+        def corner(ix, iy):
+            inb = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+            idx = jnp.where(inb, iy * W + ix, 0)
+            vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+            return vals * inb[..., None].astype(flat.dtype)
 
     v00 = corner(x0, y0)
     v01 = corner(x1, y0)

@@ -81,6 +81,16 @@ class EG3DLossConfig:
     # networks_stylegan2.py:576-597): freeze the first N conv layers of D
     # counted in forward order from the highest-resolution block.
     freeze_d_layers: int = 0
+    # Lazy regularization (reference `training_loop.py:123-124`,
+    # `train.py:205,363`): density reg runs as its own G phase every
+    # g_reg_interval batches (reference --density_reg_every, default 4) and
+    # R1 as its own D phase every d_reg_interval batches (default 16), each
+    # with gain = interval and Adam lr/betas scaled by
+    # interval/(interval+1) (upstream StyleGAN2 lazy-reg calibration).
+    # Consumed by make_eg3d_phase_steps — make_eg3d_train_step remains the
+    # fused Gboth/Dboth form (reg terms every step, no scaling).
+    g_reg_interval: int = 4
+    d_reg_interval: int = 16
     # Compute dtype for the generator synthesis and discriminator conv
     # stacks (the reference trains its D + SR blocks in fp16 with clamp,
     # train.py:400-403). Compositing, losses, R1 accumulation and both
@@ -102,12 +112,20 @@ BGC_SPEC = dict(xflip=1.0, rotate90=1.0, xint=1.0, scale=1.0, rotate=1.0,
 
 
 def make_augment_pipe(cfg: EG3DLossConfig):
-    """AugmentPipe for the configured mode, or None for 'noaug'."""
+    """AugmentPipe for the configured mode, or None for 'noaug'.
+
+    pad_fraction 0.55: the static warp margin covers a ~2.9-sigma
+    scale*rotation excursion envelope (vs ~3.05 sigma at the 0.6 default —
+    the reference pads dynamically, so ANY static margin is a tail
+    cutoff; beyond it the rare extreme transform samples zeros at the
+    corners). The trim keeps the flagship 512^2 EG3D ADA step inside the
+    v5e's 15.75 GB HBM: the warp's grad tensors scale with
+    (1 + 2*pad_fraction)^2 and lane-pad 21x (see BASELINE.md r4)."""
     if cfg.aug == "noaug":
         return None
     from .augment import AugmentPipe
 
-    return AugmentPipe(**BGC_SPEC)
+    return AugmentPipe(**BGC_SPEC, pad_fraction=0.55)
 
 
 def ada_update_p(p: float, rt: float, batch_size: int,
@@ -259,43 +277,39 @@ def freeze_d_trainable_mask(disc, params_d, freeze_layers: int):
     return mask
 
 
-def make_eg3d_train_step(
-    g: TriPlaneGenerator,
-    disc: DualDiscriminator,
-    cfg: EG3DLossConfig,
-    opt_g=None,
-    opt_d=None,
-    rendering_overrides: Optional[dict] = None,
-) -> tuple[Callable, Any, Any]:
-    """Adversarial (z, c) -> image GAN training step (EG3D pretraining).
+def _make_adam(lr: float, disc, cfg: EG3DLossConfig, for_d: bool,
+               reg_interval: int = 0):
+    """Adam with the reference hyperparameters; when `reg_interval` > 1
+    (lazy regularization), lr and betas are scaled by
+    mb_ratio = interval / (interval + 1) — the upstream StyleGAN2
+    calibration that keeps the effective update magnitude of main+reg
+    phases equal to the fused form (`training_loop.py` lazy-reg setup)."""
+    b1, b2 = 0.0, 0.99
+    if reg_interval and reg_interval > 1:
+        mb = reg_interval / (reg_interval + 1)
+        lr = lr * mb
+        b1, b2 = b1 ** mb, b2 ** mb
+    adam = optax.adam(lr, b1=b1, b2=b2, eps=1e-8)
+    if for_d and cfg.freeze_d_layers > 0:
+        # Labels computed from the param STRUCTURE at optimizer init
+        # (optax accepts callable param_labels) — no params needed here.
+        def _labels(params_d):
+            mask = freeze_d_trainable_mask(disc, params_d,
+                                           cfg.freeze_d_layers)
+            return jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze", mask)
 
-    Returns (train_step, opt_g, opt_d). State is a dict with params_g,
-    params_g_ema, params_d, opt_state_g, opt_state_d, cur_nimg.
+        return optax.multi_transform(
+            {"train": adam, "freeze": optax.set_to_zero()},
+            param_labels=_labels,
+        )
+    return adam
 
-    `rendering_overrides`: per-process render options kept out of any
-    serialized config — e.g. {'ray_sharding': NamedSharding(...)} to shard
-    the in-step render over a 2-D (data, rays) mesh (same contract as
-    train_loop.make_train_step).
-    """
-    if opt_g is None:
-        opt_g = optax.adam(cfg.glr, b1=0.0, b2=0.99, eps=1e-8)
-    if opt_d is None:
-        if cfg.freeze_d_layers > 0:
-            # Labels computed from the param STRUCTURE at optimizer init
-            # (optax accepts callable param_labels) — no params needed here.
-            def _labels(params_d):
-                mask = freeze_d_trainable_mask(disc, params_d,
-                                               cfg.freeze_d_layers)
-                return jax.tree_util.tree_map(
-                    lambda t: "train" if t else "freeze", mask)
 
-            opt_d = optax.multi_transform(
-                {"train": optax.adam(cfg.dlr, b1=0.0, b2=0.99, eps=1e-8),
-                 "freeze": optax.set_to_zero()},
-                param_labels=_labels,
-            )
-        else:
-            opt_d = optax.adam(cfg.dlr, b1=0.0, b2=0.99, eps=1e-8)
+def _make_runners(g: TriPlaneGenerator, disc: DualDiscriminator,
+                  cfg: EG3DLossConfig,
+                  rendering_overrides: Optional[dict] = None):
+    """The shared G/D forward runners both step factories compose from."""
     pipe = make_augment_pipe(cfg)
 
     def run_g(params_g, z, c, rng, cur_nimg, res):
@@ -333,16 +347,57 @@ def make_eg3d_train_step(
             # transform as one 6-channel batch, then downsample the raw half
             # back — so the discriminator never sees a consistency-breaking
             # mismatch between the two views. aug_p is a traced scalar: the
-            # controller varies it without recompiling.
+            # controller varies it without recompiling. The pipe is
+            # rematerialized: its 6-channel full-res geometric/wavelet chain
+            # is differentiated TWICE (R1 runs through the augmentation,
+            # like upstream ADA), and keeping those temps live OOMed the
+            # flagship step at 20.3 GB vs 15.75 HBM (r4 profile_eg3d).
             full = img["image"].shape[-1]
             raw_up = interpolate_bilinear(img["image_raw"], full, full,
                                           antialias=True)
-            pair = pipe(rng, jnp.concatenate([img["image"], raw_up], axis=1),
-                        p=aug_p)
+            # The pipe runs in the training dtype: its geometric warp
+            # materializes a [N, (2*pad+res)^2*4, 6] gather tensor whose
+            # 6-channel rows lane-pad 21x on TPU (f32[4,2280,2280,6] ->
+            # 9.9 GB padded, the r4 ADA OOM dump's top temp) — bf16 halves
+            # every warp temp; augmentation math at bf16 is ample.
+            pair = jnp.concatenate([img["image"], raw_up], axis=1)
+            pair = pipe(rng, pair.astype(cfg.dtype), p=aug_p)
             img["image"] = pair[:, :3]
             img["image_raw"] = interpolate_bilinear(pair[:, 3:], res, res,
                                                     antialias=True)
         return disc.apply(params_d, img, c, dtype=cfg.dtype)
+
+    return run_g, run_d
+
+
+def make_eg3d_train_step(
+    g: TriPlaneGenerator,
+    disc: DualDiscriminator,
+    cfg: EG3DLossConfig,
+    opt_g=None,
+    opt_d=None,
+    rendering_overrides: Optional[dict] = None,
+) -> tuple[Callable, Any, Any]:
+    """Adversarial (z, c) -> image GAN training step (EG3D pretraining) —
+    the FUSED form (upstream 'Gboth'/'Dboth' phases, reg_interval=None):
+    density reg and R1 run in every step. At flagship scale prefer
+    `make_eg3d_phase_steps` (lazy regularization — the reference default,
+    `training_loop.py:123-124` — whose small Dreg program keeps R1's
+    double-backward out of the main step's memory peak).
+
+    Returns (train_step, opt_g, opt_d). State is a dict with params_g,
+    params_g_ema, params_d, opt_state_g, opt_state_d, cur_nimg.
+
+    `rendering_overrides`: per-process render options kept out of any
+    serialized config — e.g. {'ray_sharding': NamedSharding(...)} to shard
+    the in-step render over a 2-D (data, rays) mesh (same contract as
+    train_loop.make_train_step).
+    """
+    if opt_g is None:
+        opt_g = _make_adam(cfg.glr, disc, cfg, for_d=False)
+    if opt_d is None:
+        opt_d = _make_adam(cfg.dlr, disc, cfg, for_d=True)
+    run_g, run_d = _make_runners(g, disc, cfg, rendering_overrides)
 
     def g_loss_fn(params_g, params_d, z, c, rng, cur_nimg, blur_sigma, blur_size,
                   aug_p, res):
@@ -461,6 +516,186 @@ def make_eg3d_train_step(
         return new_state, stats
 
     return train_step, opt_g, opt_d
+
+
+def make_eg3d_phase_steps(
+    g: TriPlaneGenerator,
+    disc: DualDiscriminator,
+    cfg: EG3DLossConfig,
+    rendering_overrides: Optional[dict] = None,
+) -> tuple[Callable, Optional[Callable], Optional[Callable], Any, Any]:
+    """Lazy-regularization phase steps — the reference's actual training
+    schedule (`training_loop.py:123-124`, `train.py:205,363`): every batch
+    runs Gmain+Dmain; density reg runs as its own Greg phase every
+    `cfg.g_reg_interval` batches and R1 as its own Dreg phase every
+    `cfg.d_reg_interval`, each with loss gain = interval and Adam lr/betas
+    scaled by interval/(interval+1) (upstream lazy-reg calibration). Beyond
+    parity, this is the memory design that fits the flagship ADA step on
+    one v5e: R1's double-backward through D and the augment pipe lives in a
+    small D-only program instead of inflating every step's peak (the fused
+    form needs 16.0+ GB vs 15.75 HBM at 512^2/batch-4/bf16 — r4
+    profile_eg3d).
+
+    Returns (main_step, greg_step, dreg_step, opt_g, opt_d); greg_step /
+    dreg_step are None when the corresponding term is disabled. All three
+    share the same state dict (and optimizer states) as
+    make_eg3d_train_step; only main_step advances cur_nimg / EMAs.
+
+    Call signatures:
+      main_step(state, batch, rng, blur_sigma, aug_p, *, blur_size, res)
+      greg_step(state, batch, rng, *, res)   # res unused; kept for symmetry
+      dreg_step(state, batch, rng, blur_sigma, aug_p, *, blur_size, res)
+    """
+    opt_g = _make_adam(cfg.glr, disc, cfg, for_d=False,
+                       reg_interval=cfg.g_reg_interval if cfg.density_reg > 0
+                       else 0)
+    opt_d = _make_adam(cfg.dlr, disc, cfg, for_d=True,
+                       reg_interval=cfg.d_reg_interval if cfg.r1_gamma > 0
+                       else 0)
+    run_g, run_d = _make_runners(g, disc, cfg, rendering_overrides)
+
+    def g_main_loss(params_g, params_d, z, c, rng, cur_nimg, blur_sigma,
+                    blur_size, aug_p, res):
+        k_g, k_aug = jax.random.split(rng)
+        gen_img, ws = run_g(params_g, z, c, k_g, cur_nimg, res)
+        gen_logits = run_d(params_d, gen_img, c, k_aug, aug_p, res,
+                           blur_sigma, blur_size)
+        loss_gmain = jax.nn.softplus(-gen_logits).mean()
+        stats = {"Loss/G/gan_loss": loss_gmain,
+                 "Loss/scores/fake": gen_logits.mean()}
+        return loss_gmain, (stats, jax.lax.stop_gradient(ws[:, 0]))
+
+    def d_main_loss(params_d, params_g, z, c, real_img_full, real_c, rng,
+                    cur_nimg, blur_sigma, blur_size, aug_p, res):
+        k_gen, k_aug_f, k_aug_r = jax.random.split(rng, 3)
+        gen_img, _ = run_g(jax.lax.stop_gradient(params_g), z, c, k_gen,
+                           cur_nimg, res)
+        gen_img = jax.tree_util.tree_map(jax.lax.stop_gradient, dict(gen_img))
+        gen_logits = run_d(params_d, gen_img, c, k_aug_f, aug_p, res,
+                           blur_sigma, blur_size)
+        loss_dgen = jax.nn.softplus(gen_logits).mean()
+        real_raw = interpolate_bilinear(real_img_full, res, res,
+                                        antialias=True)
+        real = {"image": real_img_full, "image_raw": real_raw}
+        real_logits = run_d(params_d, real, real_c, k_aug_r, aug_p, res,
+                            blur_sigma, blur_size)
+        loss_dreal = jax.nn.softplus(-real_logits).mean()
+        stats = {
+            "Loss/D/loss": loss_dgen + loss_dreal,
+            "Loss/scores/real": real_logits.mean(),
+            "Loss/signs/real": jnp.sign(real_logits).mean(),
+        }
+        return loss_dgen + loss_dreal, stats
+
+    def main_step(state: dict, batch: Mapping[str, jax.Array],
+                  rng: jax.Array, blur_sigma=0.0, aug_p=0.0, *,
+                  blur_size: int = 0, res: Optional[int] = None):
+        if res is None:
+            res = cfg.neural_rendering_resolution
+        k_g, k_d = jax.random.split(rng)
+        (g_l, (g_stats, w_batch)), g_grads = jax.value_and_grad(
+            g_main_loss, has_aux=True
+        )(state["params_g"], state["params_d"], batch["z"], batch["c"], k_g,
+          state["cur_nimg"], blur_sigma, blur_size, aug_p, res)
+        g_upd, opt_state_g = opt_g.update(g_grads, state["opt_state_g"],
+                                          state["params_g"])
+        params_g = optax.apply_updates(state["params_g"], g_upd)
+        w_avg = params_g["backbone"]["mapping"].get("w_avg")
+        if w_avg is not None:
+            beta = 0.998
+            batch_mean = w_batch.mean(axis=0)
+            params_g["backbone"]["mapping"]["w_avg"] = (
+                batch_mean + (w_avg - batch_mean) * beta
+            )
+
+        (d_l, d_stats), d_grads = jax.value_and_grad(
+            d_main_loss, has_aux=True
+        )(state["params_d"], params_g, batch["z"], batch["c"],
+          batch["real_image"], batch["real_c"], k_d, state["cur_nimg"],
+          blur_sigma, blur_size, aug_p, res)
+        d_upd, opt_state_d = opt_d.update(d_grads, state["opt_state_d"],
+                                          state["params_d"])
+        params_d = optax.apply_updates(state["params_d"], d_upd)
+
+        from ..utils.misc import ema_update
+
+        ema_beta = 0.5 ** (batch["z"].shape[0] / (10 * 1000.0))
+        params_g_ema = ema_update(state["params_g_ema"], params_g, ema_beta)
+        stats = {**g_stats, **d_stats,
+                 "Loss/G/total": g_l, "Loss/D/total": d_l}
+        new_state = dict(
+            state, params_g=params_g, params_g_ema=params_g_ema,
+            params_d=params_d, opt_state_g=opt_state_g,
+            opt_state_d=opt_state_d,
+            cur_nimg=state["cur_nimg"] + batch["z"].shape[0],
+        )
+        return new_state, stats
+
+    greg_step = dreg_step = None
+    if cfg.density_reg > 0:
+        gain_g = float(max(cfg.g_reg_interval, 1))
+
+        def g_reg_loss(params_g, z, c, rng, cur_nimg):
+            # Upstream Greg (`loss.py:112-121`): fresh mapping under the
+            # swapped conditioning, NO synthesis — just the density TV at
+            # random points, with the lazy gain folded in.
+            k_swap, k_reg = jax.random.split(rng)
+            swapping_prob = swapping_prob_schedule(cur_nimg, cfg)
+            c_cond = swapped_conditioning(k_swap, c, swapping_prob)
+            ws = g.backbone.mapping.apply(
+                params_g["backbone"]["mapping"], z, c_cond)
+            tv = density_regularization(g, params_g, ws, k_reg, cfg)
+            return tv * gain_g, tv
+
+        def greg_step(state: dict, batch, rng, *, res: Optional[int] = None):
+            del res
+            (_, tv), grads = jax.value_and_grad(g_reg_loss, has_aux=True)(
+                state["params_g"], batch["z"], batch["c"], rng,
+                state["cur_nimg"])
+            upd, opt_state_g = opt_g.update(grads, state["opt_state_g"],
+                                            state["params_g"])
+            params_g = optax.apply_updates(state["params_g"], upd)
+            return (dict(state, params_g=params_g, opt_state_g=opt_state_g),
+                    {"Loss/G/density_reg": tv})
+
+    if cfg.r1_gamma > 0:
+        gain_d = float(max(cfg.d_reg_interval, 1))
+
+        def d_reg_loss(params_d, real_img_full, real_c, rng, cur_nimg,
+                       blur_sigma, blur_size, aug_p, res):
+            # Upstream Dreg (`loss.py:172-207`): R1 through BOTH dual-
+            # discrimination inputs (and through blur + the augment pipe).
+            k_aug = rng
+            real_raw = interpolate_bilinear(real_img_full, res, res,
+                                            antialias=True)
+
+            def d_sum(image, image_raw):
+                return run_d(params_d,
+                             {"image": image, "image_raw": image_raw},
+                             real_c, k_aug, aug_p, res, blur_sigma,
+                             blur_size).sum()
+
+            g_img, g_raw = jax.grad(d_sum, argnums=(0, 1))(
+                real_img_full, real_raw)
+            r1 = (jnp.sum(jnp.square(g_img), axis=(1, 2, 3))
+                  + jnp.sum(jnp.square(g_raw), axis=(1, 2, 3)))
+            loss = (r1 * (r1_gamma_schedule(cur_nimg, cfg) / 2)).mean()
+            return loss * gain_d, loss
+
+        def dreg_step(state: dict, batch, rng, blur_sigma=0.0, aug_p=0.0, *,
+                      blur_size: int = 0, res: Optional[int] = None):
+            if res is None:
+                res = cfg.neural_rendering_resolution
+            (_, r1), grads = jax.value_and_grad(d_reg_loss, has_aux=True)(
+                state["params_d"], batch["real_image"], batch["real_c"],
+                rng, state["cur_nimg"], blur_sigma, blur_size, aug_p, res)
+            upd, opt_state_d = opt_d.update(grads, state["opt_state_d"],
+                                            state["params_d"])
+            params_d = optax.apply_updates(state["params_d"], upd)
+            return (dict(state, params_d=params_d, opt_state_d=opt_state_d),
+                    {"Loss/D/reg": r1})
+
+    return main_step, greg_step, dreg_step, opt_g, opt_d
 
 
 def init_eg3d_state(g: TriPlaneGenerator, disc: DualDiscriminator,

@@ -167,7 +167,8 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        freezed=0,
                        neural_rendering_resolution_final=None,
                        neural_rendering_resolution_fade_kimg=1000.0,
-                       style_mixing_prob=0.0, resume="", dtype="fp32"):
+                       style_mixing_prob=0.0, resume="", dtype="fp32",
+                       density_reg_every=4, d_reg_interval=16):
     """EG3D adversarial pretraining (z, c) -> image — the stage that
     produces the generator G-NeRF fine-tunes (reference loss.py spec,
     implemented live in eg3d_loss.py).
@@ -212,6 +213,11 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         # bf16 runs G synthesis + both D conv stacks in bfloat16
         # (compositing, losses, R1 and the Adams stay fp32).
         dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
+        # Lazy regularization cadence (reference --density_reg_every /
+        # D_reg_interval, training_loop.py:123-124); <=1 disables lazy and
+        # fuses the reg terms into every step.
+        g_reg_interval=int(density_reg_every),
+        d_reg_interval=int(d_reg_interval),
     )
     # Mesh first: with --ray_shards > 1 the step itself needs the 'rays'
     # axis sharding (same DP x SP contract as the G-NeRF objective).
@@ -224,8 +230,20 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         rendering_overrides = {
             "ray_sharding": NamedSharding(mesh, P("data", "rays", None))
         }
-    step_fn, opt_g, opt_d = make_eg3d_train_step(
-        g, disc, cfg, rendering_overrides=rendering_overrides)
+    # Lazy regularization (the reference schedule, `training_loop.py:123-
+    # 124`): Greg/Dreg run as their own small programs every
+    # g_reg_interval / d_reg_interval batches. Besides parity, this is what
+    # fits the flagship ADA step in one v5e's HBM (see eg3d_loss.py).
+    from .eg3d_loss import make_eg3d_phase_steps
+
+    lazy = cfg.g_reg_interval > 1 or cfg.d_reg_interval > 1
+    if lazy:
+        main_fn, greg_fn, dreg_fn, opt_g, opt_d = make_eg3d_phase_steps(
+            g, disc, cfg, rendering_overrides=rendering_overrides)
+    else:
+        main_fn, opt_g, opt_d = make_eg3d_train_step(
+            g, disc, cfg, rendering_overrides=rendering_overrides)
+        greg_fn = dreg_fn = None
     state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(seed))
 
     check_fade_sr_compat(g, state["params_g"], cfg, img_resolution)
@@ -281,6 +299,8 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                             blur_sigma_schedule, neural_resolution_schedule)
 
     _steps: dict = {}
+    _dregs: dict = {}
+    _gregs: dict = {}
 
     def step(state, gan_batch, rng, cur_nimg, aug_p):
         sigma = blur_sigma_schedule(cur_nimg, cfg)
@@ -292,13 +312,45 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
             import functools
 
             _steps[(size, res)] = jax.jit(
-                functools.partial(step_fn, blur_size=size, res=res),
+                functools.partial(main_fn, blur_size=size, res=res),
                 in_shardings=(repl, batch_sh, repl, repl, repl),
                 out_shardings=(repl, repl), donate_argnums=(0,),
             )
         return _steps[(size, res)](state, gan_batch, rng,
                             jax.device_put(jnp.float32(max(sigma, 1e-8)), repl),
                             jax.device_put(jnp.float32(aug_p), repl))
+
+    def reg_steps(state, gan_batch, rng, cur_nimg, aug_p, sched_idx):
+        """Run the due lazy phases (reference `batch_idx % reg_interval ==
+        0` cadence, resume-consistent via sched_idx = cur_nimg // batch)."""
+        import functools
+
+        reg_stats = {}
+        if greg_fn is not None and sched_idx % max(cfg.g_reg_interval, 1) == 0:
+            if not _gregs:
+                _gregs["jit"] = jax.jit(
+                    greg_fn, in_shardings=(repl, batch_sh, repl),
+                    out_shardings=(repl, repl), donate_argnums=(0,))
+            state, s = _gregs["jit"](state, gan_batch,
+                                     jax.device_put(
+                                         jax.random.fold_in(rng, 1), repl))
+            reg_stats.update(s)
+        if dreg_fn is not None and sched_idx % max(cfg.d_reg_interval, 1) == 0:
+            sigma = blur_sigma_schedule(cur_nimg, cfg)
+            size = blur_kernel_size(sigma)
+            res = neural_resolution_schedule(cur_nimg, cfg)
+            if (size, res) not in _dregs:
+                _dregs[(size, res)] = jax.jit(
+                    functools.partial(dreg_fn, blur_size=size, res=res),
+                    in_shardings=(repl, batch_sh, repl, repl, repl),
+                    out_shardings=(repl, repl), donate_argnums=(0,))
+            state, s = _dregs[(size, res)](
+                state, gan_batch, jax.device_put(
+                    jax.random.fold_in(rng, 2), repl),
+                jax.device_put(jnp.float32(max(sigma, 1e-8)), repl),
+                jax.device_put(jnp.float32(aug_p), repl))
+            reg_stats.update(s)
+        return state, reg_stats
 
     # Preemption-safe shutdown (same contract as the G-NeRF loop, SURVEY.md
     # 5.3): SIGTERM/SIGINT finish the in-flight step, save full state, exit.
@@ -358,8 +410,12 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
             ),
             "real_c": put_batch(c_local, dsh2),
         }
+        sched_idx = cur_nimg // batch
         state, stats = step(state, gan_batch, jax.device_put(ks, repl),
                             cur_nimg, cur_aug_p)
+        state, reg_stats = reg_steps(state, gan_batch, ks, cur_nimg,
+                                     cur_aug_p, sched_idx)
+        stats = {**stats, **reg_stats}
         cur_nimg += batch
         step_idx += 1
         for name, value in stats.items():
@@ -479,6 +535,8 @@ def run_training(
     neural_rendering_resolution_fade_kimg: float = 1000.0,
     style_mixing_prob: float = 0.0,
     preset: str = "",
+    density_reg_every: int = 4,
+    d_reg_interval: int = 16,
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -620,6 +678,8 @@ def run_training(
                 neural_rendering_resolution_fade_kimg),
             style_mixing_prob=style_mixing_prob,
             resume=resume, dtype=dtype,
+            density_reg_every=density_reg_every,
+            d_reg_interval=d_reg_interval,
         )
 
     # Dataset.
@@ -903,6 +963,14 @@ def run_training(
                    "objective (reference loss.py:37).")
 @click.option("--ada_target", type=float, default=0.6,
               help="ADA controller target for E[sign(D(real))]")
+@click.option("--density_reg_every", type=int, default=4,
+              help="lazy Greg cadence in batches (reference "
+                   "--density_reg_every; <=1 fuses density reg into every "
+                   "step). EG3D objective only")
+@click.option("--d_reg_interval", type=int, default=16,
+              help="lazy Dreg (R1) cadence in batches (reference "
+                   "D_reg_interval; <=1 fuses R1 into every step). EG3D "
+                   "objective only")
 @click.option("--preset", type=str, default="",
               help="rendering/SR/resolution recipe override (a "
                    "RENDERING_PRESETS key; default = dataset_name's own). "

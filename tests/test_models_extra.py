@@ -168,7 +168,10 @@ def test_eg3d_train_step_tiny_bf16():
                              mbstd_group_size=1)
     cfg = EG3DLossConfig(neural_rendering_resolution=8,
                          density_reg=0.25, density_reg_points=16,
-                         r1_gamma=1.0, dtype=jnp.bfloat16)
+                         r1_gamma=1.0, dtype=jnp.bfloat16,
+                         # exercise the bf16 augment pipe (incl. R1's
+                         # double-backward through the bf16 warp)
+                         aug="fixed", aug_p=0.5)
     step, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
     state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
 
@@ -582,3 +585,62 @@ def test_eg3d_freeze_d_layers():
     assert changed(before[top]["skip"], after[top]["skip"])
     # The 4x4 epilogue block (mbstd + final FCs) is never frozen.
     assert changed(before["b4"], after["b4"])
+
+
+def test_eg3d_lazy_phase_steps_tiny():
+    """Lazy regularization (reference training_loop.py:123-124): the main
+    phase carries no reg terms, Greg moves only G (density TV, gain =
+    g_reg_interval), Dreg moves only D (R1, gain = d_reg_interval), all
+    three share optimizer states, and only main advances cur_nimg."""
+    from gnerf_tpu.training.eg3d_loss import (
+        EG3DLossConfig,
+        init_eg3d_state,
+        make_eg3d_phase_steps,
+    )
+
+    g = _tiny_g()
+    disc = DualDiscriminator(c_dim=25, img_resolution=16, img_channels=3,
+                             channel_base=256, channel_max=32,
+                             mbstd_group_size=1)
+    cfg = EG3DLossConfig(neural_rendering_resolution=8,
+                         density_reg=0.25, density_reg_points=16,
+                         r1_gamma=1.0, g_reg_interval=4, d_reg_interval=16,
+                         aug="fixed", aug_p=0.5)
+    main, greg, dreg, opt_g, opt_d = make_eg3d_phase_steps(g, disc, cfg)
+    assert greg is not None and dreg is not None
+    state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
+
+    batch = {
+        "z": jax.random.normal(jax.random.PRNGKey(1), (2, 16)),
+        "c": jax.random.normal(jax.random.PRNGKey(2), (2, 25)),
+        "real_image": jax.random.normal(jax.random.PRNGKey(3), (2, 3, 16, 16)),
+        "real_c": jax.random.normal(jax.random.PRNGKey(4), (2, 25)),
+    }
+    s1, stats = jax.jit(main)(state, batch, jax.random.PRNGKey(5))
+    assert "Loss/G/density_reg" not in stats and "Loss/D/reg" not in stats
+    for k in ("Loss/G/total", "Loss/D/total", "Loss/signs/real"):
+        assert np.isfinite(float(stats[k])), k
+    assert int(s1["cur_nimg"]) == 2
+
+    g_leaf = lambda s: np.asarray(
+        jax.tree_util.tree_leaves(s["params_g"])[0])
+    d_leaf = lambda s: np.asarray(
+        jax.tree_util.tree_leaves(s["params_d"])[0])
+
+    s2, greg_stats = jax.jit(greg)(s1, batch, jax.random.PRNGKey(6))
+    assert np.isfinite(float(greg_stats["Loss/G/density_reg"]))
+    assert not np.allclose(g_leaf(s1), g_leaf(s2))
+    np.testing.assert_array_equal(d_leaf(s1), d_leaf(s2))
+    assert int(s2["cur_nimg"]) == 2  # reg phases do not advance the clock
+
+    s3, dreg_stats = jax.jit(dreg)(s2, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(dreg_stats["Loss/D/reg"]))
+    # R1's gradient is tiny at random init for some leaves — assert the
+    # tree moved ANYWHERE (exact compare), not one sampled leaf.
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(s2["params_d"]),
+                        jax.tree_util.tree_leaves(s3["params_d"])))
+    assert moved
+    np.testing.assert_array_equal(g_leaf(s2), g_leaf(s3))
+    assert int(s3["cur_nimg"]) == 2

@@ -289,3 +289,31 @@ def test_fma():
     b = jnp.ones((3,)) * 3
     c = jnp.ones((2, 3))
     np.testing.assert_allclose(np.asarray(ops.fma(a, b, c)), np.full((2, 3), 7.0))
+
+
+def test_grid_sample_2d_lane_pack_bit_identical():
+    """The lane-packed small-C path (P = 128 // C pixels per gather row,
+    fused mask-select) is bit-identical to the unpacked row-per-pixel path
+    in BOTH the forward values and the gradient wrt the feature map (its
+    VJP scatters into the packed rows)."""
+    rng = np.random.RandomState(11)
+    for C, W in ((6, 33), (3, 7), (16, 40)):
+        feat = rng.randn(2, C, 17, W).astype(np.float32)
+        coords = np.concatenate([
+            rng.uniform(-1.3, 1.3, size=(2, 300, 2)),
+            np.array([[[-1.0, -1.0], [1.0, 1.0], [0.0, 0.0], [2.0, 0.0]]] * 2),
+        ], axis=1).astype(np.float32)
+        f, c = jnp.asarray(feat), jnp.asarray(coords)
+        packed = ops.grid_sample_2d(f, c, lane_pack=True)
+        plain = ops.grid_sample_2d(f, c, lane_pack=False)
+        np.testing.assert_array_equal(np.asarray(packed), np.asarray(plain))
+
+        cot = jnp.asarray(rng.randn(*packed.shape).astype(np.float32))
+        g_packed = jax.grad(
+            lambda ff: jnp.vdot(ops.grid_sample_2d(ff, c, lane_pack=True),
+                                cot))(f)
+        g_plain = jax.grad(
+            lambda ff: jnp.vdot(ops.grid_sample_2d(ff, c, lane_pack=False),
+                                cot))(f)
+        np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_plain),
+                                   rtol=1e-6, atol=1e-6)

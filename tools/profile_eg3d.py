@@ -33,6 +33,21 @@ def main():
                     help="blur_init_sigma (0 = no blur bucket)")
     ap.add_argument("--dtype", choices=["fp32", "bf16"], default="fp32")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--chain", type=int, default=4,
+                    help="steps per jitted program (lax.scan). The relay "
+                         "stages every program OUTPUT buffer through the "
+                         "host link (~95 s/GB), so chaining K steps inside "
+                         "ONE jit with a scalar output is the only honest "
+                         "way to time a step whose state must persist: the "
+                         "carry never leaves the device, and the scan's "
+                         "internal state aliasing gives donation-equivalent "
+                         "memory behavior")
+    ap.add_argument("--fused", action="store_true",
+                    help="profile the fused Gboth/Dboth step "
+                         "(make_eg3d_train_step) instead of the default "
+                         "lazy-regularization phases (reference schedule; "
+                         "NB the fused flagship step does NOT fit one v5e "
+                         "at batch 4 — see BASELINE.md)")
     args = ap.parse_args()
 
     import functools
@@ -46,6 +61,7 @@ def main():
         EG3DLossConfig,
         blur_kernel_size,
         init_eg3d_state,
+        make_eg3d_phase_steps,
         make_eg3d_train_step,
     )
     from gnerf_tpu.utils import camera
@@ -59,7 +75,12 @@ def main():
         aug=args.aug, aug_p=0.3,
         dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
     )
-    step_fn, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
+    if args.fused:
+        step_fn, opt_g, opt_d = make_eg3d_train_step(g, disc, cfg)
+        greg_fn = dreg_fn = None
+    else:
+        step_fn, greg_fn, dreg_fn, opt_g, opt_d = make_eg3d_phase_steps(
+            g, disc, cfg)
     state = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
 
     c0 = camera.pose_to_label(
@@ -74,23 +95,60 @@ def main():
     }
     size = blur_kernel_size(args.blur)
     bound = functools.partial(step_fn, blur_size=size)
+    K = max(args.chain, 1)
 
-    # Scalar-fenced full step (state NOT donated so reps reuse the input).
-    step = jax.jit(bound, donate_argnums=())
+    @jax.jit
+    def multi_step(state_, batch_, key, sigma, p):
+        def body(st, k):
+            new_st, stats = bound(st, batch_, jax.random.fold_in(key, k),
+                                  sigma, p)
+            return new_st, stats["Loss/G/total"] + stats["Loss/D/total"]
 
-    def fenced(state_, batch_, key, sigma, p):
-        _, stats = step(state_, batch_, key, sigma, p)
-        return stats["Loss/G/total"] + stats["Loss/D/total"]
+        _, losses = jax.lax.scan(body, state_, jnp.arange(K))
+        return jnp.sum(losses)
 
-    t = timed(fenced, state, batch, jax.random.PRNGKey(3),
+    t = timed(multi_step, state, batch, jax.random.PRNGKey(3),
               jnp.float32(max(args.blur, 1e-8)), jnp.float32(cfg.aug_p),
-              reps=args.reps)
-    print(json.dumps({
+              reps=args.reps) / K
+    out = {
         "workload": "EG3D adversarial step, flagship 512^2 + DualD(512)",
         "batch": B, "aug": args.aug, "blur_size": size, "dtype": args.dtype,
-        "step_s_scalar_fenced": round(t, 3),
-        "imgs_per_s_per_chip": round(B / t, 3),
-    }))
+        "chain": K, "mode": "fused" if args.fused else "lazy",
+        "main_step_s": round(t, 3),
+    }
+    amort = t
+    if greg_fn is not None:
+        @jax.jit
+        def greg_ck(state_, batch_, key):
+            ns, s = greg_fn(state_, batch_, key)
+            # Checksum over the UPDATED params keeps the Adam apply alive
+            # (a stats-only fence would let XLA DCE the whole update).
+            ck = sum(jnp.sum(x) for x in
+                     jax.tree_util.tree_leaves(ns["params_g"]))
+            return s["Loss/G/density_reg"] + 1e-30 * ck
+
+        tg = timed(greg_ck, state, batch, jax.random.PRNGKey(4),
+                   reps=args.reps)
+        out["greg_step_s"] = round(tg, 3)
+        amort += tg / max(cfg.g_reg_interval, 1)
+    if dreg_fn is not None:
+        dbound = functools.partial(dreg_fn, blur_size=size)
+
+        @jax.jit
+        def dreg_ck(state_, batch_, key, sigma, p):
+            ns, s = dbound(state_, batch_, key, sigma, p)
+            ck = sum(jnp.sum(x) for x in
+                     jax.tree_util.tree_leaves(ns["params_d"]))
+            return s["Loss/D/reg"] + 1e-30 * ck
+
+        td = timed(dreg_ck, state, batch, jax.random.PRNGKey(5),
+                   jnp.float32(max(args.blur, 1e-8)), jnp.float32(cfg.aug_p),
+                   reps=args.reps)
+        out["dreg_step_s"] = round(td, 3)
+        amort += td / max(cfg.d_reg_interval, 1)
+    out["step_s_amortized"] = round(amort, 3)
+    out["imgs_per_s_per_chip"] = round(B / amort, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

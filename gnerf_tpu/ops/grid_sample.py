@@ -29,7 +29,8 @@ def _unnormalize(coord: jax.Array, size: int) -> jax.Array:
 
 
 def grid_sample_2d(features: jax.Array, coords: jax.Array,
-                   lane_pack: bool | None = None) -> jax.Array:
+                   lane_pack: bool | None = None,
+                   cell_pack: bool = False) -> jax.Array:
     """Sample `features` at continuous `coords`.
 
     Args:
@@ -46,6 +47,20 @@ def grid_sample_2d(features: jax.Array, coords: jax.Array,
                 128 lanes (126/128 at C=6) and selects the pixel within the
                 row with a fused mask-reduce. Bit-identical to the unpacked
                 path (the select has one nonzero).
+      cell_pack: PackedPlanes-style single-gather sampling (see
+                render/renderer.py:38-92): FOUR half-pixel-shifted copies of
+                the map tiled into 2x2-pixel cells so every bilinear
+                footprint lies in exactly one cell of one copy — ONE
+                row-gather per sample point instead of four, and the VJP is
+                ONE row scatter instead of four (the renderer measured the
+                packed backward 10x faster at flagship scale). Cells of
+                4*C lanes are grouped 128 // (4*C) per gather row
+                (120/128 occupied at C=6); the in-row cell and the 4 corner
+                weights reduce in one fused multiply-sum. Costs ~4.2x the
+                operand HBM of the lane_pack layout (4 copies), in exchange
+                for 4x fewer gather/scatter rows — the ADA warp trade
+                (~18M rows/step, BASELINE.md r4 EG3D table). Requires
+                4*C <= 128; falls back to lane_pack otherwise.
 
     Returns:
       [B, M, C] sampled features (channels last; zeros outside the image).
@@ -55,6 +70,9 @@ def grid_sample_2d(features: jax.Array, coords: jax.Array,
         lane_pack = C <= 16
     x = _unnormalize(coords[..., 0].astype(jnp.float32), W)
     y = _unnormalize(coords[..., 1].astype(jnp.float32), H)
+
+    if cell_pack and 4 * C <= 128:
+        return _grid_sample_2d_cells(features, x, y)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -105,6 +123,70 @@ def grid_sample_2d(features: jax.Array, coords: jax.Array,
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
+
+
+def _grid_sample_2d_cells(features: jax.Array, x: jax.Array,
+                          y: jax.Array) -> jax.Array:
+    """Single-gather bilinear sampling via 2x2-pixel cells (cell_pack=True).
+
+    Layout (mirrors render/renderer.py:75-92 pack_planes, generalized to
+    C != 32 by grouping P = 128 // (4*C) cells per gather row): copy (b, a)
+    of four covers footprints with y0 % 2 == b, x0 % 2 == a; row lanes are
+    (slot, dy, dx, c) with slot = in-row cell index along x.
+    """
+    B, C, H, W = features.shape
+    dtype = features.dtype
+    P = 128 // (4 * C)
+    ky, kx = H // 2 + 1, W // 2 + 1
+    kxp = -(-kx // P) * P
+    # Zero pad: 1 left/top (x0 = -1 footprints); bottom/right so every
+    # shifted slice b:b+2*ky / a:a+2*kxp is in range (and kx pads to a
+    # multiple of P so P-cell rows never straddle a cell-row boundary).
+    padded = jnp.pad(
+        features, ((0, 0), (0, 0), (1, 2 * ky - H), (1, 2 * kxp - W)))
+    copies = []
+    for b in (0, 1):
+        for a in (0, 1):
+            sub = padded[:, :, b : b + 2 * ky, a : a + 2 * kxp]
+            sub = sub.reshape(B, C, ky, 2, kxp, 2)
+            # -> [B, ky, kxp, dy, dx, C]
+            sub = jnp.transpose(sub, (0, 2, 4, 3, 5, 1))
+            copies.append(sub.reshape(B, ky, kxp // P, P * 4 * C))
+    rows_t = jnp.stack(copies, axis=1)  # [B, 4, ky, kxp//P, P*4C]
+    nrows = 4 * ky * (kxp // P)
+    flat = rows_t.reshape(B * nrows, P * 4 * C)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(dtype)
+    wy = (y - y0).astype(dtype)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    xp = x0 + 1  # padded coords; x0 = -1 -> cell column 0
+    yp = y0 + 1
+    a_par = xp & 1
+    b_par = yp & 1
+    cellx = jnp.clip((xp - a_par) >> 1, 0, kx - 1)
+    celly = jnp.clip((yp - b_par) >> 1, 0, ky - 1)
+    base = jnp.arange(B, dtype=jnp.int32).reshape(B, 1) * nrows
+    row = base + ((b_par * 2 + a_par) * ky + celly) * (kxp // P) + cellx // P
+    g = jnp.take_along_axis(flat, row.reshape(-1)[:, None], axis=0)
+    g = g.reshape(B, x.shape[1], P, 4, C)
+
+    def mask(ix, iy):
+        return ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)).astype(dtype)
+
+    # Corner order matches the (dy, dx) lane layout.
+    cw = jnp.stack([
+        (1 - wx) * (1 - wy) * mask(x0, y0),
+        wx * (1 - wy) * mask(x0 + 1, y0),
+        (1 - wx) * wy * mask(x0, y0 + 1),
+        wx * wy * mask(x0 + 1, y0 + 1),
+    ], axis=-1)  # [B, M, 4]
+    sel = (cellx % P)[..., None] == jnp.arange(P, dtype=jnp.int32)  # [B, M, P]
+    wmat = sel[..., :, None].astype(dtype) * cw[..., None, :]  # [B, M, P, 4]
+    return jnp.sum(g * wmat[..., None], axis=(2, 3))
 
 
 def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:

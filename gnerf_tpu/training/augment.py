@@ -165,6 +165,10 @@ class AugmentPipe:
     # Static geometric padding margin (fraction of image size); covers the
     # default parameter ranges.
     pad_fraction: float = 0.6
+    # Single-gather warp sampling (grid_sample_2d cell_pack): 4x fewer
+    # gather rows / scatter rows for ~4.2x warp-operand HBM — the ADA warp
+    # is gather-bound at flagship scale (BASELINE.md r4 EG3D table).
+    warp_cell_pack: bool = False
 
     @property
     def _has_geom(self):
@@ -354,7 +358,8 @@ class AugmentPipe:
         grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1).reshape(-1, 3)
         src = jnp.einsum("nij,mj->nmi", G, grid,
                          precision=dot_precision(jnp.float32))[..., :2]
-        images = grid_sample_2d(images, src)  # [N, out_h*out_w, C]
+        images = grid_sample_2d(
+            images, src, cell_pack=self.warp_cell_pack)  # [N, out_h*out_w, C]
         images = images.reshape(N, out_h, out_w, C).transpose(0, 3, 1, 2)
 
         # Downsample and crop back to the original size.

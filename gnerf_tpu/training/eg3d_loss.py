@@ -96,6 +96,11 @@ class EG3DLossConfig:
     # train.py:400-403). Compositing, losses, R1 accumulation and both
     # optimizers stay fp32 regardless.
     dtype: Any = jnp.float32
+    # Single-gather (cell-packed) warp sampling in the ADA pipe: the warp
+    # dominates the +1.5 s/step ADA overhead (3 run_D warps, ~18M gather
+    # rows; BASELINE.md r4 EG3D table) — cell packing cuts gather/scatter
+    # rows 4x for ~4.2x warp-operand HBM (grid_sample_2d cell_pack).
+    aug_cell_pack: bool = True
     # Rematerialize the G synthesis under value_and_grad: at flagship scale
     # (512^2, batch 4) the un-remat'd fp32 G branch needs 16.15 GB of HLO
     # temps vs the v5e's 15.75 GB HBM (measured r4, profile_eg3d OOM dump —
@@ -125,7 +130,8 @@ def make_augment_pipe(cfg: EG3DLossConfig):
         return None
     from .augment import AugmentPipe
 
-    return AugmentPipe(**BGC_SPEC, pad_fraction=0.55)
+    return AugmentPipe(**BGC_SPEC, pad_fraction=0.55,
+                       warp_cell_pack=cfg.aug_cell_pack)
 
 
 def ada_update_p(p: float, rt: float, batch_size: int,

@@ -149,3 +149,20 @@ def test_full_pipe_ada_defaults_smoke():
     d = _img(n=2, c=1)
     yd = pipe1(jax.random.PRNGKey(8), d, p=1.0)
     assert yd.shape == d.shape
+
+
+def test_geometric_warp_cell_pack_matches_default():
+    """The single-gather (cell_pack) warp path produces the same augmented
+    images as the default lane-packed path — the EG3D ADA step's perf
+    layout must not change augmentation semantics."""
+    import dataclasses
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.randn(2, 6, 32, 32).astype(np.float32))
+    pipe = AugmentPipe(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
+                       aniso=1, xfrac=1, pad_fraction=0.55)
+    pipe_cp = dataclasses.replace(pipe, warp_cell_pack=True)
+    key = jax.random.PRNGKey(7)
+    out = pipe(key, imgs, p=0.8)
+    out_cp = pipe_cp(key, imgs, p=0.8)
+    np.testing.assert_allclose(np.asarray(out_cp), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)

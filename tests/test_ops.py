@@ -317,3 +317,33 @@ def test_grid_sample_2d_lane_pack_bit_identical():
                                 cot))(f)
         np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_plain),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_grid_sample_2d_cell_pack_matches_plain():
+    """The cell-packed single-gather path (four half-pixel-shifted copies,
+    2x2-pixel cells, P = 128 // (4C) cells per row) matches the plain path
+    in forward values and feature-map gradients. Not bit-identical — the
+    packed combine sums the 4 corner terms in one reduce instead of the
+    lerp tree — so fp32 tolerance."""
+    rng = np.random.RandomState(12)
+    for C, H, W in ((6, 17, 33), (3, 8, 7), (1, 9, 11), (32, 12, 12)):
+        feat = rng.randn(2, C, H, W).astype(np.float32)
+        coords = np.concatenate([
+            rng.uniform(-1.3, 1.3, size=(2, 300, 2)),
+            np.array([[[-1.0, -1.0], [1.0, 1.0], [0.0, 0.0], [2.0, 0.0]]] * 2),
+        ], axis=1).astype(np.float32)
+        f, c = jnp.asarray(feat), jnp.asarray(coords)
+        packed = ops.grid_sample_2d(f, c, cell_pack=True)
+        plain = ops.grid_sample_2d(f, c, lane_pack=False)
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(plain),
+                                   rtol=1e-6, atol=1e-6)
+
+        cot = jnp.asarray(rng.randn(*packed.shape).astype(np.float32))
+        g_packed = jax.grad(
+            lambda ff: jnp.vdot(ops.grid_sample_2d(ff, c, cell_pack=True),
+                                cot))(f)
+        g_plain = jax.grad(
+            lambda ff: jnp.vdot(ops.grid_sample_2d(ff, c, lane_pack=False),
+                                cot))(f)
+        np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_plain),
+                                   rtol=1e-5, atol=1e-5)

@@ -42,6 +42,10 @@ def main():
                          "carry never leaves the device, and the scan's "
                          "internal state aliasing gives donation-equivalent "
                          "memory behavior")
+    ap.add_argument("--no-cell-pack", action="store_true",
+                    help="disable the PackedPlanes-style single-gather "
+                         "warp sampling in the ADA pipe (A/B against the "
+                         "default cell-packed layout)")
     ap.add_argument("--fused", action="store_true",
                     help="profile the fused Gboth/Dboth step "
                          "(make_eg3d_train_step) instead of the default "
@@ -73,6 +77,7 @@ def main():
         neural_rendering_resolution=g.neural_rendering_resolution,
         blur_init_sigma=args.blur, blur_fade_kimg=200 if args.blur else 0,
         aug=args.aug, aug_p=0.3,
+        aug_cell_pack=not args.no_cell_pack,
         dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
     )
     if args.fused:
@@ -113,6 +118,7 @@ def main():
     out = {
         "workload": "EG3D adversarial step, flagship 512^2 + DualD(512)",
         "batch": B, "aug": args.aug, "blur_size": size, "dtype": args.dtype,
+        "cell_pack": cfg.aug_cell_pack,
         "chain": K, "mode": "fused" if args.fused else "lazy",
         "main_step_s": round(t, 3),
     }

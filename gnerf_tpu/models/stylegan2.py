@@ -558,6 +558,9 @@ class Generator:
     channel_max: int = 512
     conv_clamp: Optional[float] = 256
     use_noise: bool = True
+    # 'orig' is reachable only through TF-era pickles (per-lod ToRGB,
+    # reference `legacy.py:163-167`); the modern lineage is all 'skip'.
+    architecture: str = "skip"
 
     @property
     def synthesis(self) -> SynthesisNetwork:
@@ -565,7 +568,7 @@ class Generator:
             w_dim=self.w_dim, img_resolution=self.img_resolution,
             img_channels=self.img_channels, channel_base=self.channel_base,
             channel_max=self.channel_max, conv_clamp=self.conv_clamp,
-            use_noise=self.use_noise,
+            use_noise=self.use_noise, architecture=self.architecture,
         )
 
     @property
@@ -771,6 +774,10 @@ class Discriminator:
     conv_clamp: Optional[float] = 256
     cmap_dim: Optional[int] = None
     mbstd_group_size: Optional[int] = 4
+    # Conditioning-mapping depth. The reference leaves MappingNetwork's
+    # default (8, `networks_stylegan2.py:782` with mapping_kwargs={});
+    # TF-era pickles used 0 layers (LabelEmbed only, `legacy.py:239`).
+    mapping_layers: int = 8
 
     @property
     def block_resolutions(self):
@@ -805,7 +812,7 @@ class Discriminator:
     def _mapping(self):
         return MappingNetwork(
             z_dim=0, c_dim=self.c_dim, w_dim=self._cmap_dim(), num_ws=None,
-            w_avg_beta=None,
+            w_avg_beta=None, num_layers=self.mapping_layers,
         )
 
     def init(self, rng: jax.Array) -> Params:

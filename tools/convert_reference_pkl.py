@@ -12,6 +12,11 @@ Requires torch. `--reference` points at the original repo package so the
 unpickler can resolve module names the pickle references; the pickle itself
 supplies the class source. The resulting .npz carries G_ema / E / D param
 trees in gnerf_tpu layout plus the rendering config.
+
+TF-era pickles (the original tflib `(G, D, Gs)` tuple, reference
+`legacy.py:24-33`) are detected and converted too — that path is pure
+numpy (utils/tf_legacy.py): no torch, no module construction, and the
+tflib Network records are unpickled as inert attribute bags.
 """
 
 from __future__ import annotations
@@ -44,12 +49,34 @@ def main() -> None:
     import numpy as np
 
     from gnerf_tpu.utils import checkpoint as ckpt
+    from gnerf_tpu.utils import tf_legacy
+
+    class _TFNetworkStub:
+        """Inert attribute bag standing in for dnnlib.tflib.network.Network
+        (reference `legacy.py:65-72`) — the TF record is pure data."""
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "dnnlib.tflib.network" and name == "Network":
+                return _TFNetworkStub
+            return super().find_class(module, name)
 
     with open(args.pkl, "rb") as f:
-        data = pickle.load(f)
+        data = _Unpickler(f).load()
 
     trees = {}
     config = {}
+
+    if tf_legacy.is_tf_network_tuple(data):
+        tf_G, tf_D, tf_Gs = data
+        gcfg, trees["G"] = tf_legacy.convert_tf_generator(tf_G)
+        _, trees["G_ema"] = tf_legacy.convert_tf_generator(tf_Gs)
+        dcfg, trees["D"] = tf_legacy.convert_tf_discriminator(tf_D)
+        config["stylegan2_generator"] = gcfg
+        config["stylegan2_discriminator"] = dcfg
+        ckpt.save_checkpoint(args.out, trees, config=config)
+        print(f"wrote {args.out} (TF-era): " + ", ".join(sorted(trees)))
+        return
 
     if "G_ema" in data:
         G = data["G_ema"]

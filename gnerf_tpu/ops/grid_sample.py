@@ -125,9 +125,17 @@ def grid_sample_2d(features: jax.Array, coords: jax.Array,
     return top * (1 - wy) + bot * wy
 
 
-def _grid_sample_2d_cells(features: jax.Array, x: jax.Array,
-                          y: jax.Array) -> jax.Array:
-    """Single-gather bilinear sampling via 2x2-pixel cells (cell_pack=True).
+def _cells_layout(C: int, H: int, W: int):
+    """Static geometry of the 2x2-cell packed layout for a [*, C, H, W] map."""
+    P = 128 // (4 * C)
+    ky, kx = H // 2 + 1, W // 2 + 1
+    kxp = -(-kx // P) * P
+    nrows = 4 * ky * (kxp // P)
+    return P, ky, kx, kxp, nrows
+
+
+def _cells_pack(features: jax.Array) -> jax.Array:
+    """Pack [B, C, H, W] into [B*nrows, P*4C] single-gather cell rows.
 
     Layout (mirrors render/renderer.py:75-92 pack_planes, generalized to
     C != 32 by grouping P = 128 // (4*C) cells per gather row): copy (b, a)
@@ -135,10 +143,7 @@ def _grid_sample_2d_cells(features: jax.Array, x: jax.Array,
     (slot, dy, dx, c) with slot = in-row cell index along x.
     """
     B, C, H, W = features.shape
-    dtype = features.dtype
-    P = 128 // (4 * C)
-    ky, kx = H // 2 + 1, W // 2 + 1
-    kxp = -(-kx // P) * P
+    P, ky, kx, kxp, nrows = _cells_layout(C, H, W)
     # Zero pad: 1 left/top (x0 = -1 footprints); bottom/right so every
     # shifted slice b:b+2*ky / a:a+2*kxp is in range (and kx pads to a
     # multiple of P so P-cell rows never straddle a cell-row boundary).
@@ -153,9 +158,40 @@ def _grid_sample_2d_cells(features: jax.Array, x: jax.Array,
             sub = jnp.transpose(sub, (0, 2, 4, 3, 5, 1))
             copies.append(sub.reshape(B, ky, kxp // P, P * 4 * C))
     rows_t = jnp.stack(copies, axis=1)  # [B, 4, ky, kxp//P, P*4C]
-    nrows = 4 * ky * (kxp // P)
-    flat = rows_t.reshape(B * nrows, P * 4 * C)
+    return rows_t.reshape(B * nrows, P * 4 * C)
 
+
+def _cells_unpack_grad(flat_bar: jax.Array, B: int, C: int, H: int,
+                       W: int) -> jax.Array:
+    """Transpose of _cells_pack: packed-row cotangents -> [B, C, H, W].
+
+    Written by hand (not left to AD) because XLA's transpose of the pack
+    materializes the four copies' gradient contributions as full-map
+    C-minor tensors: at the ADA warp shape (C=6, 2280^2) each lane-pads
+    21.3x to 4.53 GB and the flagship EG3D+ADA step OOMs at 23.6/15.75 GB
+    (r4 OOM dump, grid_sample.py pack transposes). Here every full-map
+    intermediate is W-minor (lane-dense) and the only scatter is the
+    caller's single 128-lane row scatter into `flat_bar`.
+    """
+    P, ky, kx, kxp, nrows = _cells_layout(C, H, W)
+    rows_bar = flat_bar.reshape(B, 4, ky, kxp // P, P, 2, 2, C)
+    padded_bar = jnp.zeros((B, C, 2 * ky + 1, 2 * kxp + 1),
+                           dtype=flat_bar.dtype)
+    for i, (b, a) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        # [B, ky, kxp//P, P(slot), dy, dx, C] -> [B, ky, kxp, dy, dx, C]
+        sub = rows_bar[:, i].reshape(B, ky, kxp, 2, 2, C)
+        # inverse of the pack transpose (0,2,4,3,5,1)
+        sub = jnp.transpose(sub, (0, 5, 1, 3, 2, 4))  # [B, C, ky, dy, kxp, dx]
+        sub = sub.reshape(B, C, 2 * ky, 2 * kxp)
+        padded_bar = padded_bar.at[:, :, b : b + 2 * ky,
+                                   a : a + 2 * kxp].add(sub)
+    return padded_bar[:, :, 1 : 1 + H, 1 : 1 + W]
+
+
+def _cells_geometry(features_shape, x, y, dtype):
+    """Row indices + fused corner-weight mask for the packed-cell gather."""
+    B, C, H, W = features_shape
+    P, ky, kx, kxp, nrows = _cells_layout(C, H, W)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = (x - x0).astype(dtype)
@@ -171,22 +207,84 @@ def _grid_sample_2d_cells(features: jax.Array, x: jax.Array,
     celly = jnp.clip((yp - b_par) >> 1, 0, ky - 1)
     base = jnp.arange(B, dtype=jnp.int32).reshape(B, 1) * nrows
     row = base + ((b_par * 2 + a_par) * ky + celly) * (kxp // P) + cellx // P
-    g = jnp.take_along_axis(flat, row.reshape(-1)[:, None], axis=0)
-    g = g.reshape(B, x.shape[1], P, 4, C)
 
     def mask(ix, iy):
         return ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)).astype(dtype)
 
+    masks = (mask(x0, y0), mask(x0 + 1, y0),
+             mask(x0, y0 + 1), mask(x0 + 1, y0 + 1))
     # Corner order matches the (dy, dx) lane layout.
     cw = jnp.stack([
-        (1 - wx) * (1 - wy) * mask(x0, y0),
-        wx * (1 - wy) * mask(x0 + 1, y0),
-        (1 - wx) * wy * mask(x0, y0 + 1),
-        wx * wy * mask(x0 + 1, y0 + 1),
+        (1 - wx) * (1 - wy) * masks[0],
+        wx * (1 - wy) * masks[1],
+        (1 - wx) * wy * masks[2],
+        wx * wy * masks[3],
     ], axis=-1)  # [B, M, 4]
     sel = (cellx % P)[..., None] == jnp.arange(P, dtype=jnp.int32)  # [B, M, P]
     wmat = sel[..., :, None].astype(dtype) * cw[..., None, :]  # [B, M, P, 4]
+    return row, wmat, sel, (wx, wy), masks
+
+
+def _cells_gather(features, x, y):
+    B, C, H, W = features.shape
+    P = _cells_layout(C, H, W)[0]
+    flat = _cells_pack(features)
+    row, wmat, sel, frac, masks = _cells_geometry(
+        features.shape, x, y, features.dtype)
+    g = jnp.take_along_axis(flat, row.reshape(-1)[:, None], axis=0)
+    g = g.reshape(B, x.shape[1], P, 4, C)
+    return g, row, wmat, sel, frac, masks
+
+
+@jax.custom_vjp
+def _grid_sample_2d_cells(features: jax.Array, x: jax.Array,
+                          y: jax.Array) -> jax.Array:
+    """Single-gather bilinear sampling via 2x2-pixel cells (cell_pack=True).
+
+    custom_vjp: the features cotangent is ONE 128-lane row scatter into the
+    packed layout + a lane-friendly manual unpack (see _cells_unpack_grad);
+    pixel-coordinate cotangents are the exact bilinear derivatives (matching
+    AD through the plain 4-gather path).
+    """
+    g, _, wmat, _, _, _ = _cells_gather(features, x, y)
     return jnp.sum(g * wmat[..., None], axis=(2, 3))
+
+
+def _grid_sample_2d_cells_fwd(features, x, y):
+    g, _, wmat, _, _, _ = _cells_gather(features, x, y)
+    return jnp.sum(g * wmat[..., None], axis=(2, 3)), (features, x, y)
+
+
+def _grid_sample_2d_cells_bwd(res, gout):
+    features, x, y = res
+    B, C, H, W = features.shape
+    P, ky, kx, kxp, nrows = _cells_layout(C, H, W)
+    # Recompute geometry (cheap scalar math) and the gathered rows (one
+    # row-gather) instead of saving them: residuals stay O(inputs).
+    g, row, wmat, sel, (wx, wy), masks = _cells_gather(features, x, y)
+    gout = gout.astype(features.dtype)
+
+    # d features: rows cotangent -> single row scatter -> manual unpack.
+    grad_rows = gout[:, :, None, None, :] * wmat[..., None]  # [B,M,P,4,C]
+    flat_bar = jnp.zeros((B * nrows, P * 4 * C), dtype=gout.dtype)
+    flat_bar = flat_bar.at[row.reshape(-1)].add(
+        grad_rows.reshape(-1, P * 4 * C))
+    features_bar = _cells_unpack_grad(flat_bar, B, C, H, W)
+
+    # d coords (pixel units): s_k = <g_k, gout> per corner, then the exact
+    # bilinear weight derivatives (masks are constants of the coordinates).
+    s = jnp.sum(g * sel[..., None, None].astype(g.dtype)
+                * gout[:, :, None, None, :], axis=(2, 4))  # [B, M, 4]
+    m00, m01, m10, m11 = masks
+    dwx = (-s[..., 0] * (1 - wy) * m00 + s[..., 1] * (1 - wy) * m01
+           - s[..., 2] * wy * m10 + s[..., 3] * wy * m11)
+    dwy = (-s[..., 0] * (1 - wx) * m00 - s[..., 1] * wx * m01
+           + s[..., 2] * (1 - wx) * m10 + s[..., 3] * wx * m11)
+    return features_bar, dwx.astype(x.dtype), dwy.astype(y.dtype)
+
+
+_grid_sample_2d_cells.defvjp(_grid_sample_2d_cells_fwd,
+                             _grid_sample_2d_cells_bwd)
 
 
 def grid_sample_3d(grid: jax.Array, coords: jax.Array) -> jax.Array:

@@ -347,3 +347,25 @@ def test_grid_sample_2d_cell_pack_matches_plain():
                                 cot))(f)
         np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_plain),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_2d_cell_pack_coord_grads_match_plain():
+    """cell_pack's custom VJP (r4: single row scatter + hand-written
+    lane-friendly unpack — AD through the pack transposes materialized
+    4.53 GB C-minor temps and OOMed the flagship EG3D+ADA step) must also
+    return the exact bilinear COORDINATE cotangents of the plain path."""
+    rng = np.random.RandomState(7)
+    for C, H, W in ((6, 17, 33), (32, 12, 12)):
+        feat = rng.randn(2, C, H, W).astype(np.float32)
+        coords = rng.uniform(-1.2, 1.2, size=(2, 257, 2)).astype(np.float32)
+        f, c = jnp.asarray(feat), jnp.asarray(coords)
+        cot = jnp.asarray(
+            rng.randn(2, 257, C).astype(np.float32))
+        g_packed = jax.grad(
+            lambda cc: jnp.vdot(ops.grid_sample_2d(f, cc, cell_pack=True),
+                                cot))(c)
+        g_plain = jax.grad(
+            lambda cc: jnp.vdot(ops.grid_sample_2d(f, cc, lane_pack=False),
+                                cot))(c)
+        np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_plain),
+                                   rtol=1e-4, atol=1e-4)

@@ -33,8 +33,12 @@ keep the dedicated chunked-throughput program.
 Measured at flagship scale (512^2, v5e through the dev relay): warm
 identity onboarding 0.05 s, single-frame latency ~104 ms (~30 ms of which
 is relay dispatch; device time ~15 ms), orbit throughput limited by the
-relay's host link (11.8 MB of pixels per 15-frame chunk) — a co-located
-deployment serves at the bench.py rate (72 f/s).
+relay's host link (11.8 MB of pixels per 15-frame chunk). A co-located
+deployment's orbit rate is bench.py's — the server reuses its exact
+chunked program AND its sampling (the default `double_sampling=True` load
+matches the bench's 96+96 workload, asserted by
+test_server.py::test_load_service_from_checkpoint): 41.9 f/s on one v5e
+(BASELINE.md r4; 75 f/s with `--double-sampling false`, the 48-spp tier).
 
 Start:  python -m gnerf_tpu.infer.server --network g.npz --port 8000
 Library use: `GNerfService` (no HTTP) for embedding into other servers.

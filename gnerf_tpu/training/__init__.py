@@ -25,6 +25,7 @@ from .train_loop import (
     TrainConfig,
     TrainState,
     init_train_state,
+    make_chained_step,
     make_optimizers,
     make_train_step,
     save_snapshot,
@@ -48,6 +49,7 @@ __all__ = [
     "g_nonsaturating_loss",
     "init_train_state",
     "lpips_distance",
+    "make_chained_step",
     "make_optimizers",
     "make_train_step",
     "masked_mean",

@@ -537,6 +537,7 @@ def run_training(
     preset: str = "",
     density_reg_every: int = 4,
     d_reg_interval: int = 16,
+    chain: int = 1,
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -558,6 +559,7 @@ def run_training(
         TrainConfig,
         init_train_state,
         load_train_state,
+        make_chained_step,
         make_optimizers,
         make_train_step,
         save_snapshot,
@@ -757,8 +759,21 @@ def run_training(
     def put_batch(v, sh):
         return put_global_batch(v, sh, world)
 
-    step = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
-                   out_shardings=(repl, repl), donate_argnums=(0,))
+    chain = max(int(chain), 1)
+    if chain > 1:
+        # K-step dispatch (make_chained_step): the donated state crosses the
+        # host boundary once per K steps instead of every step. Batch leaves
+        # gain a leading chain axis; 'data' sharding moves to axis 1.
+        data_sh = {
+            k: NamedSharding(mesh, P(None, "data", *([None] * (np.ndim(v) - 1))))
+            for k, v in example.items()
+        }
+        step = jax.jit(make_chained_step(train_step),
+                       in_shardings=(repl, data_sh, repl),
+                       out_shardings=(repl, repl), donate_argnums=(0,))
+    else:
+        step = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
+                       out_shardings=(repl, repl), donate_argnums=(0,))
 
     # Validation + snapshots.
     validate_batch = make_validator(g, enc, cfg, vgg=vgg,
@@ -813,13 +828,33 @@ def run_training(
     pending = example
     print(f"Training for {kimg} kimg in {run_dir} ...")
     while cur_nimg < kimg * 1000 and not stop_requested["flag"]:
-        key = jax.random.fold_in(base_rng, cur_nimg)
-        batch_dev = {k: put_batch(v, data_sh[k]) for k, v in pending.items()}
+        if chain > 1:
+            group = [pending] + [next(batches) for _ in range(chain - 1)]
+            host_batch = {
+                k: np.stack([np.asarray(b[k]) for b in group])
+                for k in group[0]
+            }
+            # Same cur_nimg-keyed stream as the unchained loop: step i of the
+            # chain uses fold_in(base, cur_nimg + i*batch), so resume/replay
+            # semantics do not depend on the chain length.
+            key = jnp.stack([
+                jax.random.fold_in(base_rng, cur_nimg + i * batch)
+                for i in range(chain)
+            ])
+        else:
+            host_batch = pending
+            key = jax.random.fold_in(base_rng, cur_nimg)
+        batch_dev = {k: put_batch(v, data_sh[k]) for k, v in host_batch.items()}
         state, stats = step(state, batch_dev, jax.device_put(key, repl))
         pending = next(batches)
-        cur_nimg += batch
+        cur_nimg += batch * chain
+        stats = jax.device_get(stats)
         for name, value in stats.items():
-            collector.report(name, value)
+            if chain > 1:
+                for i in range(chain):
+                    collector.report(name, value[i])
+            else:
+                collector.report(name, value)
         if cur_nimg >= (tick_idx + 1) * tick * 1000 or cur_nimg >= kimg * 1000:
             tick_idx += 1
             now = time.time()
@@ -976,6 +1011,11 @@ def run_training(
                    "RENDERING_PRESETS key; default = dataset_name's own). "
                    "E.g. --dataset_name synthetic --preset ffhq trains the "
                    "flagship 512^2/8XDC/48+48 shape on procedural data")
+@click.option("--chain", type=int, default=1,
+              help="Steps per dispatch (gnerf objective): lax.scan K "
+                   "consecutive train steps inside one jitted program, so "
+                   "the donated state crosses the host boundary once per K "
+                   "steps. Ticks/snapshots land on chain boundaries.")
 @click.option("--ada_kimg", type=float, default=500.0,
               help="ADA controller sweep speed: kimg for a full 0->1 p "
                    "traversal (upstream ADA heuristic constant; lower = "

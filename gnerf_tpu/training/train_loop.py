@@ -321,6 +321,36 @@ def make_train_step(
     return train_step
 
 
+def make_chained_step(train_step: Callable) -> Callable:
+    """K consecutive train steps inside ONE jitted program (lax.scan).
+
+    The returned function takes (state, batches, keys) where every leaf of
+    `batches` and `keys` has a leading chain axis K, scans `train_step`
+    over them with the state as carry, and returns (final_state,
+    stacked_stats) — each stat a (K,) array, one entry per inner step.
+
+    Why: the per-step host round-trip (dispatch + donated-state return) is
+    pure overhead on TPU — one K-step program crosses the host boundary
+    once per K steps. The reference steps its loop from Python once per
+    batch (`training_loop.py:314-443`); chaining is the TPU-native form.
+    (Through this environment's dev relay, which stages each returned ~GB
+    state at ~10-20 MB/s, chaining is the only honest way to RUN flagship
+    training at all — see CLAUDE.md.) Ticks/validation/checkpoints happen
+    at chain boundaries, so kimg-per-tick resolution coarsens to
+    batch*K images — K is a dispatch-granularity knob, not semantics:
+    the scanned program applies the identical per-step math."""
+
+    def chained(state: TrainState, batches, keys):
+        def body(s, xs):
+            b, k = xs
+            s2, stats = train_step(s, b, k)
+            return s2, stats
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return chained
+
+
 def init_train_state(
     g: TriPlaneGenerator,
     enc: ResNeXt50Encoder,

@@ -23,7 +23,11 @@ from gnerf_tpu.training import (
     make_optimizers,
     make_train_step,
 )
-from gnerf_tpu.training.train_loop import load_train_state, save_train_state
+from gnerf_tpu.training.train_loop import (
+    load_train_state,
+    make_chained_step,
+    save_train_state,
+)
 
 
 def tiny_setup(dtype=jnp.float32, batch: int = 4):
@@ -78,6 +82,75 @@ def test_multi_tick_convergence_bf16_with_depth_gan():
         f"reconstruction did not descend: first10={first:.4f} last10={last:.4f}")
     # Params must remain finite too (EMA included).
     for leaf in jax.tree_util.tree_leaves(state.params_g_ema):
+        assert bool(jnp.isfinite(leaf).all())
+
+
+def test_make_chained_step_mechanism():
+    """make_chained_step is generic over the step function — verify the
+    mechanism bit-exactly with a deterministic stub: state threads through
+    all K inner steps, batch i pairs with key i (order matters in the
+    recurrence below), and per-step stats come back stacked in step order.
+
+    (A numeric comparison of the REAL GAN step across the scanned vs
+    standalone programs is NOT meaningful: at random init the BN/ReLU
+    chain chaotically amplifies XLA fusion-order noise to percent-level
+    loss differences — the same reason the encoder parity test pins the
+    grouped formulation. Real-step coverage is the smoke test below plus
+    the flagship --chain training run archived in BASELINE.md.)"""
+
+    def stub_step(state, batch, key):
+        # Non-commutative recurrence: wrong batch/key pairing or ordering
+        # changes the result, so bit-equality proves the wiring.
+        x = state["x"] * 1.5 + batch["v"].sum() * jax.random.uniform(key, ())
+        return {"x": x, "n": state["n"] + 1}, {"x_now": x}
+
+    K = 3
+    batches = [{"v": jnp.arange(4, dtype=jnp.float32) * (i + 1)}
+               for i in range(K)]
+    keys = [jax.random.PRNGKey(40 + i) for i in range(K)]
+
+    s = {"x": jnp.float32(2.0), "n": jnp.int32(0)}
+    seq_stats = []
+    for i in range(K):
+        s, st = stub_step(s, batches[i], keys[i])
+        seq_stats.append(st)
+
+    chained = jax.jit(make_chained_step(stub_step))
+    stacked = {"v": jnp.stack([b["v"] for b in batches])}
+    s2, chain_stats = chained({"x": jnp.float32(2.0), "n": jnp.int32(0)},
+                              stacked, jnp.stack(keys))
+    assert int(s2["n"]) == K
+    np.testing.assert_array_equal(np.asarray(s2["x"]), np.asarray(s["x"]))
+    for i in range(K):
+        np.testing.assert_array_equal(
+            np.asarray(chain_stats["x_now"][i]),
+            np.asarray(seq_stats[i]["x_now"]))
+
+
+@pytest.mark.slow
+def test_chained_real_step_smoke():
+    """K=2 chained REAL train steps in one program: stats stay finite, the
+    state actually advances (cur_nimg, and step-1 stats differ from step-0
+    — the carry threads), and the final params are finite."""
+    g, enc, disc, vgg, cfg, state0, _, ds = tiny_setup()
+    K = 2
+    batches = data_iterator(ds, batch_size=4, seed=11)
+    fixed = [
+        {k: jnp.asarray(v) for k, v in next(batches).items()} for _ in range(K)
+    ]
+    keys = jnp.stack([jax.random.PRNGKey(300 + i) for i in range(K)])
+    opt_g, opt_d = make_optimizers(g, state0.params_e, state0.params_g, cfg)
+    chained = jax.jit(make_chained_step(
+        make_train_step(g, enc, disc, vgg, opt_g, opt_d, cfg)))
+    stacked = {k: jnp.stack([b[k] for b in fixed]) for k in fixed[0]}
+    state1, stats = chained(state0, stacked, keys)
+    stats = jax.device_get(stats)
+    assert int(state1.cur_nimg) == K * 4
+    for name, v in stats.items():
+        assert v.shape[0] == K
+        assert np.all(np.isfinite(np.asarray(v, np.float32))), name
+    assert not np.allclose(stats["Loss/G/total"][0], stats["Loss/G/total"][1])
+    for leaf in jax.tree_util.tree_leaves(state1.params_g_ema):
         assert bool(jnp.isfinite(leaf).all())
 
 

@@ -151,7 +151,9 @@ def measure(g, params, planes, ws, cs, z, c0, n_frames, frames_per_batch,
             "superresolution": round(max(chunk_frame_ms - vol_frame_ms, 0.0), 3),
             "clip_program_overhead": round(
                 out["frame_ms"] - chunk_frame_ms, 3),
-            "identity_prepare_amortized": round(prep_dt * 1e3, 3),
+            # Per-identity mapping+backbone cost; paid once per clip, not
+            # per frame (amortized over n_frames it is ~prep/60 per frame).
+            "identity_prepare_ms": round(prep_dt * 1e3, 3),
         }
 
         # FLOP-derived utilization: XLA's own cost model for the compiled

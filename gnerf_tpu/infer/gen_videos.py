@@ -26,8 +26,31 @@ import jax
 import jax.numpy as jnp
 
 
-def _load_images(id_image: Optional[str], prepared: Optional[str]) -> np.ndarray:
-    from PIL import Image
+def _find_landmarks(align_lm: str, img_path: str) -> Optional[str]:
+    """Per-image landmark file `<align_lm>/<stem>.{json,npy,txt}` (the PTI
+    --align_lm convention), or None."""
+    stem = os.path.splitext(os.path.basename(img_path))[0]
+    for ext in (".json", ".npy", ".txt"):
+        p = os.path.join(align_lm, stem + ext)
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def _load_images(id_image: Optional[str], prepared: Optional[str],
+                 align_lm: str = "", size: int = 512) -> np.ndarray:
+    """Identity photos -> [N, 3, size, size] uint8.
+
+    Real photos go through the native C++ decoder (utils/native_loader, PIL
+    fallback) with a bilinear resize to `size` — unlike the reference
+    (`gen_videos.py:112-119` cv2.imread, no resize) this accepts odd-sized
+    inputs. When `align_lm` names a folder of 68-pt landmark files, each
+    photo with landmarks is FFHQ-aligned first (reference
+    `utils/alignment.py:29-114` geometry) and the warp output IS the
+    size^2 crop.
+    """
+    from ..utils.alignment import align_face, load_landmarks
+    from ..utils.native_loader import decode_image
 
     if prepared:
         paths = sorted(
@@ -39,14 +62,22 @@ def _load_images(id_image: Optional[str], prepared: Optional[str]) -> np.ndarray
         # No identity given (e.g. --seed-init smoke runs): deterministic
         # synthetic identity image so the CLI is self-contained.
         return np.random.RandomState(0).randint(
-            0, 256, size=(1, 3, 512, 512), dtype=np.uint8
+            0, 256, size=(1, 3, size, size), dtype=np.uint8
         ).astype(np.uint8)
     else:
         paths = [id_image]
     imgs = []
     for p in paths:
-        img = np.asarray(Image.open(p).convert("RGB"))
-        imgs.append(img.transpose(2, 0, 1)[None])
+        lm_path = _find_landmarks(align_lm, p) if align_lm else None
+        if lm_path is not None:
+            from PIL import Image
+
+            raw = np.asarray(Image.open(p).convert("RGB"))
+            img = align_face(raw, load_landmarks(lm_path), output_size=size)
+            img = img.transpose(2, 0, 1)
+        else:
+            img = decode_image(p, size, size)
+        imgs.append(img[None])
     return np.concatenate(imgs, axis=0)
 
 
@@ -101,11 +132,12 @@ def generate_videos(
     fp32: bool = False,
     label_path: Optional[str] = None,
     ray_shards: int = 1,
+    align_lm: str = "",
 ):
     from ..models import ResNeXt50Encoder, TriPlaneGenerator
     from ..utils import checkpoint as ckpt
 
-    id_images = _load_images(id_image, prepared)
+    id_images = _load_images(id_image, prepared, align_lm=align_lm)
     n_ids = id_images.shape[0]
 
     # --- load or init networks ------------------------------------------------
@@ -290,6 +322,10 @@ def generate_videos(
 @click.option("--ray_shards", type=int, default=1,
               help="Shard each frame's ray axis over this many devices "
                    "(2-D frames x rays inference mesh)")
+@click.option("--align_lm", default="",
+              help="Folder of per-image 68-pt landmark files "
+                   "(<stem>.json/.npy/.txt); photos with landmarks are "
+                   "FFHQ-aligned before encoding")
 def main(**kwargs):
     generate_videos(**kwargs)
 

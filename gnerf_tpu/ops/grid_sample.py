@@ -6,15 +6,18 @@ tri-plane lookups through it (reference
 calls stock `torch.nn.functional.grid_sample`). The border math
 (align_corners=False) and zeros padding are the correctness fulcrum for
 pixel parity, so both are replicated exactly and golden-tested against
-torch in `tests/test_grid_sample.py`.
+torch in `tests/test_ops.py` (the grid_sample_* tests).
 
 TPU design: rather than a scatter/gather "grid" op, sampling is expressed as
 four row-gathers from an [H*W, C]-flattened feature map plus a fused
 weighted sum — `jnp.take` with fill keeps out-of-bounds corners zero. The
 trailing C dimension stays contiguous so each gather moves whole C-sized
-rows (C=32 -> 128-byte rows, a native HBM transaction). A fused Pallas
-renderer kernel that keeps the plane resident in VMEM supersedes this on the
-hot path (see gnerf_tpu/render/pallas_render.py).
+rows (C=32 -> 128-byte rows, a native HBM transaction). On the renderer's
+hot path the PackedPlanes layout (gnerf_tpu/render/renderer.py) goes
+further: one gather per bilinear footprint over 2x2-pixel 128-lane cells.
+(A fused Pallas render kernel was evaluated in r3 and is an analytical dead
+end — XLA already fuses the corner-weighting into the gather consumer; see
+BASELINE.md.)
 """
 
 from __future__ import annotations

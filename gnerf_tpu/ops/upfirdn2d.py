@@ -12,7 +12,7 @@ convolution padding — XLA lowers all of it onto the MXU/VPU and fuses with
 neighbouring elementwise work. Semantics (incl. padding conventions of the
 derived helpers `filter2d`/`upsample2d`/`downsample2d`, cf. reference
 `upfirdn2d.py:279-389`) are preserved exactly and unit-tested against a
-stock-PyTorch oracle in `tests/test_upfirdn2d.py`.
+stock-PyTorch oracle in `tests/test_ops.py`.
 
 The backward pass is the same op with swapped up/down factors and a flipped
 filter, expressed via `jax.custom_vjp` (reference `upfirdn2d.py:252-271`

@@ -850,13 +850,15 @@ def run_training(
         cur_nimg += batch * chain
         stats = jax.device_get(stats)
         for name, value in stats.items():
-            if chain > 1:
-                for i in range(chain):
-                    collector.report(name, value[i])
-            else:
-                collector.report(name, value)
+            # Collector.report flattens tensors into [n, sum, sum_sq], so the
+            # chained (K,) stat arrays accumulate identically to K scalar
+            # reports — no per-index host loop needed.
+            collector.report(name, value)
         if cur_nimg >= (tick_idx + 1) * tick * 1000 or cur_nimg >= kimg * 1000:
-            tick_idx += 1
+            # Recompute (don't increment): one chained dispatch can cross
+            # several tick boundaries when batch*chain > tick*1000, and the
+            # tick index must track kimg, not loop iterations.
+            tick_idx = max(tick_idx + 1, cur_nimg // max(tick * 1000, 1))
             now = time.time()
             fields = collector.update()
             msg = " ".join(
@@ -1015,7 +1017,11 @@ def run_training(
               help="Steps per dispatch (gnerf objective): lax.scan K "
                    "consecutive train steps inside one jitted program, so "
                    "the donated state crosses the host boundary once per K "
-                   "steps. Ticks/snapshots land on chain boundaries.")
+                   "steps. Ticks/snapshots land on chain boundaries. NB the "
+                   "kimg stop condition is checked once per chain, so a run "
+                   "can overshoot the target by up to (chain-1)*batch images "
+                   "(kept: a shorter tail chain would recompile the step, "
+                   "which costs minutes through the relay).")
 @click.option("--ada_kimg", type=float, default=500.0,
               help="ADA controller sweep speed: kimg for a full 0->1 p "
                    "traversal (upstream ADA heuristic constant; lower = "

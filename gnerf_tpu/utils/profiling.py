@@ -39,16 +39,25 @@ def trace(run_dir: str):
         jax.profiler.stop_trace()
 
 
+@jax.jit
+def _fence_sum(leaf):
+    # fp32-ACCUMULATING reduce, jitted: the naive eager
+    # `jnp.sum(l.astype(f32))` materializes a full fp32 copy of the leaf
+    # first — on multi-GB bf16 outputs (the 96-spp packed-rows tensors)
+    # that transient doubles the footprint and OOMs the profiler.
+    import jax.numpy as jnp
+
+    return jnp.sum(leaf, dtype=jnp.float32)
+
+
 def scalar_fence(x) -> float:
     """Force completion of a computation by fetching a scalar reduction.
 
     Through the axon dev relay `block_until_ready` is NOT a reliable
     barrier (CLAUDE.md); summing every leaf to one host float is. Returns
     the float so callers can also use it as a cheap checksum."""
-    import jax.numpy as jnp
-
     leaves = jax.tree_util.tree_leaves(x)
-    return float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
+    return float(sum(_fence_sum(l) for l in leaves))
 
 
 def timed_median(fn, *args, reps: int = 3, warmup: int = 1) -> float:

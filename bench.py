@@ -195,6 +195,14 @@ def main():
                          "(measured optimum r2/r3)")
     ap.add_argument("--skip-48", action="store_true",
                     help="skip the 48+48 continuity measurement")
+    ap.add_argument("--packed_combine", default=None,
+                    choices=["mxu", "mxu_barrier", "lanes"],
+                    help="override the packed-sampling corner combine for "
+                         "full-program A/B (default: the production 'mxu')")
+    ap.add_argument("--sample_merge", default=None,
+                    choices=["hybrid", "onehot", "sort", "weights", "ranks"],
+                    help="override the coarse+fine merge for full-program "
+                         "A/B (default: the production setting)")
     args = ap.parse_args()
 
     # Production precision: bf16 backbone + superresolution (the reference
@@ -203,6 +211,12 @@ def main():
     dtype = jnp.bfloat16
 
     g = TriPlaneGenerator()  # full default config (512^2, 8XDC, 48+48)
+    if args.packed_combine:
+        g = dataclasses.replace(g, rendering_kwargs=dict(
+            g.rendering_kwargs, packed_combine=args.packed_combine))
+    if args.sample_merge:
+        g = dataclasses.replace(g, rendering_kwargs=dict(
+            g.rendering_kwargs, sample_merge=args.sample_merge))
     # Flagship inference sampling: doubled at load exactly like the
     # reference (`gen_videos.py:127-128`) and our infer/gen_videos.py.
     rk96 = dict(g.rendering_kwargs)

@@ -204,8 +204,12 @@ class VGG16LPIPS:
 def lpips_distance(vgg: VGG16LPIPS, params: dict, a: jax.Array, b: jax.Array) -> jax.Array:
     """Per-sample LPIPS distance of [-1,1]-range images (converted to the
     0..255 convention internally)."""
-    fa = vgg.apply(params, (a + 1) * 255 * 0.5)
-    fb = vgg.apply(params, (b + 1) * 255 * 0.5)
+    # ONE VGG pass over [a; b] (batch 2N) instead of two batch-N passes:
+    # identical math, and the doubled batch keeps the early small-channel
+    # conv layers' matmuls fuller on the MXU (r5 A/B, BASELINE.md LPIPS row).
+    x = jnp.concatenate([a, b], axis=0)
+    f = vgg.apply(params, (x + 1) * 255 * 0.5)
+    fa, fb = jnp.split(f, 2, axis=0)
     # Final reduction over ~millions of embedding dims: accumulate fp32
     # even when the feature chain ran bf16.
     return jnp.sum(jnp.square((fa - fb).astype(jnp.float32)), axis=1)

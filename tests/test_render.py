@@ -398,6 +398,41 @@ def test_march_merged_count_matches_sort_exactly():
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
 
 
+def test_weights_merge_gradients_match_hybrid():
+    """Backward through march_merged('weights') — two chained lax.sorts and
+    the unsorted color weighted-sum — must produce the SAME gradients as
+    the hybrid unify+march composition (underwrites using the sort-free
+    merge inside differentiated training programs)."""
+    from gnerf_tpu.render.ray_marcher import march_rays as _march
+    from gnerf_tpu.render.renderer import march_merged, unify_samples
+
+    k = jax.random.PRNGKey(0)
+    N, R, S, C = 2, 8, 6, 5
+    ks = jax.random.split(k, 6)
+    d1 = jnp.sort(jax.random.uniform(ks[0], (N, R, S, 1)), axis=-2)
+    d2 = jnp.sort(jax.random.uniform(ks[1], (N, R, S, 1)), axis=-2)
+    c1 = jax.random.normal(ks[2], (N, R, S, C))
+    c2 = jax.random.normal(ks[3], (N, R, S, C))
+    s1 = jax.random.normal(ks[4], (N, R, S, 1))
+    s2 = jax.random.normal(ks[5], (N, R, S, 1))
+    opts = {"clamp_mode": "softplus", "white_back": False}
+
+    def f_w(c1, c2, s1, s2):
+        rgb, dep, _ = march_merged(d1, c1, s1, d2, c2, s2, opts)
+        return jnp.sum(rgb ** 2) + jnp.sum(dep)
+
+    def f_h(c1, c2, s1, s2):
+        dd, cc, ss = unify_samples(d1, c1, s1, d2, c2, s2, method="hybrid")
+        rgb, dep, _ = _march(cc, ss, dd, opts)
+        return jnp.sum(rgb ** 2) + jnp.sum(dep)
+
+    gw = jax.grad(f_w, argnums=(0, 1, 2, 3))(c1, c2, s1, s2)
+    gh = jax.grad(f_h, argnums=(0, 1, 2, 3))(c1, c2, s1, s2)
+    for a, b in zip(gw, gh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_render_rays_weights_merge_matches_hybrid():
     """End-to-end render_rays with sample_merge='weights' must match the
     default hybrid merge path at fp32 tolerance."""

@@ -717,3 +717,104 @@ def init_eg3d_state(g: TriPlaneGenerator, disc: DualDiscriminator,
         opt_state_d=opt_d.init(params_d),
         cur_nimg=jnp.zeros((), jnp.int32),
     )
+
+
+def make_chained_eg3d_cycle(main_step, greg_step, dreg_step,
+                            cfg: EG3DLossConfig, *, blur_size: int = 0,
+                            res: Optional[int] = None) -> Callable:
+    """K EG3D train steps — main phases, the DUE lazy-reg phases, and the
+    ADA r_t-feedback p controller — inside ONE jitted program.
+
+    Why this exists: the per-step loop dispatches up to three programs per
+    batch, each returning the donated multi-GB state across the host
+    boundary. On hardware that boundary is just dispatch latency; through
+    this environment's relay it stages the state at ~10-20 MB/s, i.e.
+    ~100 s per return — the reason no hours-scale adversarial run was ever
+    feasible (VERDICT r4 #4). One K-step cycle returns state once per K
+    steps, same as the G-NeRF objective's `make_chained_step`
+    (train_loop.py), while keeping the reference cadences exact:
+
+      * lazy regularization (`training_loop.py:123-124`): Greg/Dreg run at
+        positions the CALLER marks due via the (K,) bool arrays — computed
+        from the same `sched_idx % interval == 0` rule as the unchained
+        loop, so resume alignment is preserved for any K.  Inside the scan
+        they are `lax.cond` branches: XLA allocates branch temps
+        exclusively (max, not sum), so the R1 double-backward still never
+        coexists with the main phase's peak — the property that fits the
+        flagship ADA step in one v5e's HBM (see make_eg3d_phase_steps).
+      * ADA controller (`augment.py` heuristic; host-side `ada_update_p`
+        in the unchained loop): moved INTO the scan carry — every
+        `cfg.ada_interval` steps p is nudged by
+        sign(mean r_t − ada_target) · B·interval/(ada_kimg·1000), clipped
+        to [0,1].  Same cadence, same window means; the caller must keep
+        K a multiple of ada_interval so windows never straddle a chain
+        boundary.  The final p is returned for host persistence
+        (`aug_p_live` in the full-state checkpoint).
+
+    Per-step keys are the caller's (K,)-stacked stream (fold_in(base,
+    cur_nimg + i·batch)), split exactly as the unchained loop does (main
+    uses the key itself; Greg fold_in(·,1); Dreg fold_in(·,2)), so the
+    trained trajectory is chain-length-independent.
+
+    `real_image` may arrive as uint8 [0,255]: normalization to [-1,1]
+    happens on device here, quartering the per-chain host→device staging
+    bytes (the K×B×3×512² batch is the largest input leaf).
+
+    Call: cycle(state, batches, rngs, greg_due, dreg_due, blur_sigmas,
+    aug_p0) -> (new_state, final_aug_p, stacked_stats) where every batch
+    leaf / rngs / due / sigma input has a leading K axis and stats are (K,)
+    arrays (reg stats are zero at not-due positions — mask with the due
+    arrays when aggregating).
+    """
+    ada = cfg.aug == "ada"
+
+    def cycle(state: dict, batches, rngs, greg_due, dreg_due, blur_sigmas,
+              aug_p0):
+        def body(carry, xs):
+            st, p, rt_sum, rt_n = carry
+            b, k, g_due, d_due, sigma = xs
+            if b["real_image"].dtype == jnp.uint8:
+                b = dict(b, real_image=b["real_image"].astype(jnp.float32)
+                         / 127.5 - 1.0)
+            st, stats = main_step(st, b, k, sigma, p,
+                                  blur_size=blur_size, res=res)
+            if greg_step is not None:
+                def run_greg(s):
+                    return greg_step(s, b, jax.random.fold_in(k, 1), res=res)
+
+                def skip_greg(s):
+                    return s, {"Loss/G/density_reg": jnp.zeros(())}
+
+                st, gstats = jax.lax.cond(g_due, run_greg, skip_greg, st)
+                stats = {**stats, **gstats}
+            if dreg_step is not None:
+                def run_dreg(s):
+                    return dreg_step(s, b, jax.random.fold_in(k, 2), sigma,
+                                     p, blur_size=blur_size, res=res)
+
+                def skip_dreg(s):
+                    return s, {"Loss/D/reg": jnp.zeros(())}
+
+                st, dstats = jax.lax.cond(d_due, run_dreg, skip_dreg, st)
+                stats = {**stats, **dstats}
+            if ada:
+                rt_sum = rt_sum + stats["Loss/signs/real"]
+                rt_n = rt_n + 1
+                do = rt_n >= cfg.ada_interval
+                adjust = jnp.sign(rt_sum / jnp.maximum(rt_n, 1)
+                                  - cfg.ada_target) * (
+                    b["z"].shape[0] * cfg.ada_interval
+                    / (cfg.ada_kimg * 1000.0))
+                p = jnp.where(do, jnp.clip(p + adjust, 0.0, 1.0), p)
+                rt_sum = jnp.where(do, 0.0, rt_sum)
+                rt_n = jnp.where(do, 0, rt_n)
+            stats = {**stats, "Progress/augment": p}
+            return (st, p, rt_sum, rt_n), stats
+
+        carry0 = (state, jnp.float32(aug_p0), jnp.zeros(()),
+                  jnp.zeros((), jnp.int32))
+        (st, p, _, _), stacked = jax.lax.scan(
+            body, carry0, (batches, rngs, greg_due, dreg_due, blur_sigmas))
+        return st, p, stacked
+
+    return cycle

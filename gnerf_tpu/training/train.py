@@ -168,7 +168,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        neural_rendering_resolution_final=None,
                        neural_rendering_resolution_fade_kimg=1000.0,
                        style_mixing_prob=0.0, resume="", dtype="fp32",
-                       density_reg_every=4, d_reg_interval=16):
+                       density_reg_every=4, d_reg_interval=16, chain=1):
     """EG3D adversarial pretraining (z, c) -> image — the stage that
     produces the generator G-NeRF fine-tunes (reference loss.py spec,
     implemented live in eg3d_loss.py).
@@ -352,6 +352,45 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
             reg_stats.update(s)
         return state, reg_stats
 
+    # --chain K (same dispatch-granularity knob as the G-NeRF objective):
+    # ONE jitted K-step cycle — main + due lazy phases + the device-side
+    # ADA controller (eg3d_loss.make_chained_eg3d_cycle) — so the donated
+    # multi-GB state crosses the host boundary once per K steps instead of
+    # up to 3 times per step. Required for hours-scale adversarial runs
+    # through the relay (~100 s per state return; CLAUDE.md).
+    chain = max(int(chain), 1)
+    if chain > 1 and aug == "ada":
+        assert chain % max(cfg.ada_interval, 1) == 0, (
+            f"--chain {chain} must be a multiple of ada_interval "
+            f"{cfg.ada_interval} so controller windows never straddle a "
+            "chain boundary")
+    chain_sh = {
+        "z": NamedSharding(mesh, P(None, "data", None)),
+        "c": NamedSharding(mesh, P(None, "data", None)),
+        "real_image": NamedSharding(mesh, P(None, "data", None, None, None)),
+        "real_c": NamedSharding(mesh, P(None, "data", None)),
+    }
+    _cycles: dict = {}
+
+    def cycle_step(state, gan_batches, rngs, g_due, d_due, sigmas, p0,
+                   size, res):
+        """Dispatch one K-step cycle, compiled per (blur-size, res) bucket.
+        Within a chain the blur KERNEL EXTENT (static) is pinned to the
+        chain-start sigma — the fade crosses extent buckets once per
+        hundreds of steps, so the quantization is at most one chain late;
+        the sigma VALUE itself stays exact per step (traced (K,) input)."""
+        if (size, res) not in _cycles:
+            from .eg3d_loss import make_chained_eg3d_cycle
+
+            fn = make_chained_eg3d_cycle(main_fn, greg_fn, dreg_fn, cfg,
+                                         blur_size=size, res=res)
+            _cycles[(size, res)] = jax.jit(
+                fn,
+                in_shardings=(repl, chain_sh, repl, repl, repl, repl, repl),
+                out_shardings=(repl, repl, repl), donate_argnums=(0,))
+        return _cycles[(size, res)](state, gan_batches, rngs, g_due, d_due,
+                                    sigmas, p0)
+
     # Preemption-safe shutdown (same contract as the G-NeRF loop, SURVEY.md
     # 5.3): SIGTERM/SIGINT finish the in-flight step, save full state, exit.
     import signal
@@ -394,42 +433,106 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         print(f"EG3D pretraining for {kimg} kimg in {run_dir} "
               f"(aug={aug}, p0={cur_aug_p}) ...")
     while cur_nimg < kimg * 1000 and not stop_requested["flag"]:
-        kz, ks = jax.random.split(jax.random.fold_in(base_rng, cur_nimg))
-        raw = next(batches)
-        # Each host draws only its local_batch z rows (key folded with rank
-        # so hosts don't duplicate latents); the global arrays are assembled
-        # from the per-process shards.
-        z_local = jax.random.normal(jax.random.fold_in(kz, rank),
-                                    (local_batch, g.z_dim))
-        c_local = np.asarray(raw["loss_c"], np.float32)
-        gan_batch = {
-            "z": put_batch(z_local, dsh2),
-            "c": put_batch(c_local, dsh2),
-            "real_image": put_batch(
-                np.asarray(raw["loss_image"], np.float32) / 127.5 - 1.0, dsh4
-            ),
-            "real_c": put_batch(c_local, dsh2),
-        }
-        sched_idx = cur_nimg // batch
-        state, stats = step(state, gan_batch, jax.device_put(ks, repl),
-                            cur_nimg, cur_aug_p)
-        state, reg_stats = reg_steps(state, gan_batch, ks, cur_nimg,
-                                     cur_aug_p, sched_idx)
-        stats = {**stats, **reg_stats}
-        cur_nimg += batch
-        step_idx += 1
-        for name, value in stats.items():
-            collector.report(name, value)
-        collector.report("Progress/augment", cur_aug_p)
-        if aug == "ada":
-            rt_window.append(stats["Loss/signs/real"])
-            if step_idx % cfg.ada_interval == 0:
-                rt = float(np.mean([np.asarray(jax.device_get(x))
-                                    for x in rt_window]))
-                cur_aug_p = ada_update_p(cur_aug_p, rt, batch, cfg)
-                rt_window.clear()
+        if chain > 1:
+            # K-step dispatch: same cur_nimg-keyed stream as the unchained
+            # path (step i uses fold_in(base, cur_nimg + i*batch)), due
+            # masks from the same sched_idx cadence rule, real images
+            # shipped uint8 (normalized on device — 4x less host-link
+            # staging for the largest input leaf).
+            base_sched = cur_nimg // batch
+            zs, cs, imgs, ks_list, g_due, d_due, sig_list = (
+                [], [], [], [], [], [], [])
+            for i in range(chain):
+                nimg_i = cur_nimg + i * batch
+                kz, ks = jax.random.split(jax.random.fold_in(base_rng,
+                                                             nimg_i))
+                raw = next(batches)
+                zs.append(np.asarray(
+                    jax.random.normal(jax.random.fold_in(kz, rank),
+                                      (local_batch, g.z_dim))))
+                cs.append(np.asarray(raw["loss_c"], np.float32))
+                img = np.asarray(raw["loss_image"])
+                if img.dtype != np.uint8:  # cycle normalizes uint8 only
+                    img = np.asarray(img, np.float32) / 127.5 - 1.0
+                imgs.append(img)
+                ks_list.append(ks)
+                g_due.append(greg_fn is not None and
+                             (base_sched + i) % max(cfg.g_reg_interval, 1)
+                             == 0)
+                d_due.append(dreg_fn is not None and
+                             (base_sched + i) % max(cfg.d_reg_interval, 1)
+                             == 0)
+                sig_list.append(max(blur_sigma_schedule(nimg_i, cfg), 1e-8))
+            gan_batches = {
+                "z": put_batch(np.stack(zs), chain_sh["z"]),
+                "c": put_batch(np.stack(cs), chain_sh["c"]),
+                "real_image": put_batch(np.stack(imgs),
+                                        chain_sh["real_image"]),
+                "real_c": put_batch(np.stack(cs), chain_sh["real_c"]),
+            }
+            size = blur_kernel_size(blur_sigma_schedule(cur_nimg, cfg))
+            res0 = neural_resolution_schedule(cur_nimg, cfg)
+            state, p_final, stats = cycle_step(
+                state, gan_batches,
+                jax.device_put(jnp.stack(ks_list), repl),
+                jax.device_put(jnp.asarray(g_due), repl),
+                jax.device_put(jnp.asarray(d_due), repl),
+                jax.device_put(jnp.asarray(sig_list, jnp.float32), repl),
+                jax.device_put(jnp.float32(cur_aug_p), repl), size, res0)
+            cur_aug_p = float(np.asarray(jax.device_get(p_final)))
+            cur_nimg += batch * chain
+            step_idx += chain
+            stats = jax.device_get(stats)
+            for name, value in stats.items():
+                value = np.asarray(value)
+                # Reg stats are zero-filled at not-due scan positions —
+                # aggregate only the positions the phase actually ran.
+                if name == "Loss/G/density_reg":
+                    value = value[np.asarray(g_due)]
+                elif name == "Loss/D/reg":
+                    value = value[np.asarray(d_due)]
+                if value.size:
+                    collector.report(name, value)
+        else:
+            kz, ks = jax.random.split(jax.random.fold_in(base_rng, cur_nimg))
+            raw = next(batches)
+            # Each host draws only its local_batch z rows (key folded with
+            # rank so hosts don't duplicate latents); the global arrays are
+            # assembled from the per-process shards.
+            z_local = jax.random.normal(jax.random.fold_in(kz, rank),
+                                        (local_batch, g.z_dim))
+            c_local = np.asarray(raw["loss_c"], np.float32)
+            gan_batch = {
+                "z": put_batch(z_local, dsh2),
+                "c": put_batch(c_local, dsh2),
+                "real_image": put_batch(
+                    np.asarray(raw["loss_image"], np.float32) / 127.5 - 1.0,
+                    dsh4
+                ),
+                "real_c": put_batch(c_local, dsh2),
+            }
+            sched_idx = cur_nimg // batch
+            state, stats = step(state, gan_batch, jax.device_put(ks, repl),
+                                cur_nimg, cur_aug_p)
+            state, reg_stats = reg_steps(state, gan_batch, ks, cur_nimg,
+                                         cur_aug_p, sched_idx)
+            stats = {**stats, **reg_stats}
+            cur_nimg += batch
+            step_idx += 1
+            for name, value in stats.items():
+                collector.report(name, value)
+            collector.report("Progress/augment", cur_aug_p)
+            if aug == "ada":
+                rt_window.append(stats["Loss/signs/real"])
+                if step_idx % cfg.ada_interval == 0:
+                    rt = float(np.mean([np.asarray(jax.device_get(x))
+                                        for x in rt_window]))
+                    cur_aug_p = ada_update_p(cur_aug_p, rt, batch, cfg)
+                    rt_window.clear()
         if cur_nimg >= (tick_idx + 1) * tick * 1000 or cur_nimg >= kimg * 1000:
-            tick_idx += 1
+            # Recompute (don't increment): one chained dispatch can cross
+            # several tick boundaries when batch*chain > tick*1000.
+            tick_idx = max(tick_idx + 1, cur_nimg // max(tick * 1000, 1))
             fields = collector.update()
             msg = " ".join(f"{k.split('/')[-1]} {v['mean']:.4f}"
                            for k, v in fields.items())
@@ -682,6 +785,7 @@ def run_training(
             resume=resume, dtype=dtype,
             density_reg_every=density_reg_every,
             d_reg_interval=d_reg_interval,
+            chain=chain,
         )
 
     # Dataset.
@@ -1014,10 +1118,13 @@ def run_training(
                    "E.g. --dataset_name synthetic --preset ffhq trains the "
                    "flagship 512^2/8XDC/48+48 shape on procedural data")
 @click.option("--chain", type=int, default=1,
-              help="Steps per dispatch (gnerf objective): lax.scan K "
+              help="Steps per dispatch (both objectives): lax.scan K "
                    "consecutive train steps inside one jitted program, so "
                    "the donated state crosses the host boundary once per K "
-                   "steps. Ticks/snapshots land on chain boundaries. NB the "
+                   "steps. For --objective eg3d the cycle also runs the due "
+                   "lazy-reg phases (lax.cond) and the ADA p controller "
+                   "device-side (K must be a multiple of ada_interval). "
+                   "Ticks/snapshots land on chain boundaries. NB the "
                    "kimg stop condition is checked once per chain, so a run "
                    "can overshoot the target by up to (chain-1)*batch images "
                    "(kept: a shorter tail chain would recompile the step, "

@@ -201,14 +201,37 @@ class VGG16LPIPS:
         return jnp.concatenate(out, axis=1)
 
 
+def lpips_embed(vgg: VGG16LPIPS, params: dict, images: jax.Array) -> jax.Array:
+    """LPIPS embedding of [-1,1]-range images (squared euclidean distance
+    of two embeddings == their LPIPS distance). Split out from
+    lpips_distance so the TRAINING step can batch the no-grad target
+    images into one fwd-only pass separate from the differentiated fake
+    pass — concatenating constants with differentiated inputs into ONE
+    conv batch forces the conv backward to run over the constant half too
+    (XLA cannot DCE half a conv_transpose), which is why lpips_distance's
+    fused form is only used on forward-only paths (eval/validation)."""
+    return vgg.apply(params, (images + 1) * 255 * 0.5)
+
+
+def lpips_training_distance(vgg: VGG16LPIPS, params: dict, target: jax.Array,
+                            pred: jax.Array) -> jax.Array:
+    """lpips_distance for the training pattern (grads through `pred` only):
+    the target embedding runs as its own fwd-only pass under stop_gradient
+    so no conv backward is ever built for the constant side. Identical
+    values to lpips_distance; cheaper VJP."""
+    emb_t = jax.lax.stop_gradient(lpips_embed(vgg, params, target))
+    emb_p = lpips_embed(vgg, params, pred)
+    return jnp.sum(jnp.square((emb_t - emb_p).astype(jnp.float32)), axis=1)
+
+
 def lpips_distance(vgg: VGG16LPIPS, params: dict, a: jax.Array, b: jax.Array) -> jax.Array:
     """Per-sample LPIPS distance of [-1,1]-range images (converted to the
-    0..255 convention internally)."""
-    # ONE VGG pass over [a; b] (batch 2N) instead of two batch-N passes:
-    # identical math, and the doubled batch keeps the early small-channel
-    # conv layers' matmuls fuller on the MXU (r5 A/B, BASELINE.md LPIPS row).
-    x = jnp.concatenate([a, b], axis=0)
-    f = vgg.apply(params, (x + 1) * 255 * 0.5)
+    0..255 convention internally). Forward-only callers: the ONE VGG pass
+    over [a; b] (batch 2N) is identical math to two batch-N passes and
+    keeps the early small-channel conv matmuls fuller on the MXU; for
+    training (grads through b only) use lpips_training_distance / the
+    lpips_embed split instead — see lpips_embed's docstring."""
+    f = lpips_embed(vgg, params, jnp.concatenate([a, b], axis=0))
     fa, fb = jnp.split(f, 2, axis=0)
     # Final reduction over ~millions of embedding dims: accumulate fp32
     # even when the feature chain ran bf16.

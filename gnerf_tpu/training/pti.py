@@ -97,7 +97,7 @@ def make_pti_step(
         )
         synth = out["image"]
         real = batch["loss_image"]
-        lp = L.lpips_distance(vgg, state["params_vgg"], real, synth).mean()
+        lp = L.lpips_training_distance(vgg, state["params_vgg"], real, synth).mean()
         loss = cfg.lpips_lambda * lp
         stats = {"Loss/pti/lpips": lp}
         if cfg.l1_lambda > 0:
@@ -136,7 +136,7 @@ def make_pti_step(
                         jnp.square(old_img - new_img)
                     )
                 if cfg.regulizer_lpips_lambda > 0:
-                    reg = reg + cfg.regulizer_lpips_lambda * L.lpips_distance(
+                    reg = reg + cfg.regulizer_lpips_lambda * L.lpips_training_distance(
                         vgg, state["params_vgg"], old_img, new_img
                     ).mean()
             reg = reg / cfg.latent_ball_num_of_samples
@@ -257,7 +257,7 @@ def project_w(
         out = g.synthesis(params_g, ws, target_c,
                           neural_rendering_resolution=res, noise_mode="none")
         synth = out["image"]
-        loss = L.lpips_distance(vgg, params_vgg, target_image, synth).mean()
+        loss = L.lpips_training_distance(vgg, params_vgg, target_image, synth).mean()
         if l2_lambda > 0:
             loss = loss + l2_lambda * jnp.mean(
                 jnp.square(target_image - synth))

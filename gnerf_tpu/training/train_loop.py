@@ -142,19 +142,50 @@ def make_train_step(
     # Before r3 the fp32 loss images fed it unconverted, so the LPIPS
     # fwd+bwd silently ran fp32 convs at HIGHEST precision (~9% of the
     # flagship step). Distances still accumulate fp32 (losses.py).
-    def _lpips_cast(pv, a, b):
-        return L.lpips_distance(vgg, pv, a.astype(cfg.dtype),
-                                b.astype(cfg.dtype))
+    def _vgg_embed(pv, x):
+        return L.lpips_embed(vgg, pv, x)
 
-    _lpips = jax.checkpoint(_lpips_cast) if cfg.remat_lpips else _lpips_cast
+    _vgg_embed_remat = jax.checkpoint(_vgg_embed) if cfg.remat_lpips \
+        else _vgg_embed
 
-    def recon_terms(real, fake, params_vgg):
+    def _to_vgg_res(x):
+        # The resize vgg.apply would do internally, hoisted out so the raw
+        # and full tiers can share one conv batch (resize and the affine
+        # 0..255 conversion commute exactly — bilinear weights sum to 1).
+        x = x.astype(cfg.dtype)
+        if x.shape[-1] != vgg.resize_to:
+            x = interpolate_bilinear(x, vgg.resize_to, vgg.resize_to,
+                                     antialias=vgg.antialias)
+        return x
+
+    def lpips_pair_terms(params_vgg, real_raw, fake_raw, real_full,
+                         fake_full):
+        """LPIPS of both recon tiers with the VGG work split by grad need:
+        the 2N TARGET images (constants) run ONE fwd-only pass — kept out
+        of the remat wrapper (no backward -> nothing to recompute) and
+        stop_gradient'd so no conv_transpose ever runs for them — while
+        the 2N FAKE images run the differentiated (and remat'd) pass.
+        Batching the tiers keeps the early small-channel conv matmuls full
+        on the MXU; splitting target from fake avoids paying conv
+        backward + remat re-forward on the constant half, which a single
+        concatenated [real; fake] batch cannot DCE (r5; the measured A/B
+        is the BASELINE.md LPIPS row)."""
+        tgt = jnp.concatenate([_to_vgg_res(real_raw), _to_vgg_res(real_full)],
+                              axis=0)
+        fak = jnp.concatenate([_to_vgg_res(fake_raw), _to_vgg_res(fake_full)],
+                              axis=0)
+        emb_t = jax.lax.stop_gradient(_vgg_embed(params_vgg, tgt))
+        emb_f = _vgg_embed_remat(params_vgg, fak)
+        # fp32 accumulation over the ~1.2M embedding dims (losses.py).
+        d = jnp.sum(jnp.square((emb_t - emb_f).astype(jnp.float32)), axis=1)
+        return jnp.split(d, 2, axis=0)
+
+    def recon_terms(real, fake):
         l1 = jnp.abs(real - fake).mean(axis=(1, 2, 3))
         ssim_val = 1.0 - L.ssim(
             real * 0.5 + 0.5, fake * 0.5 + 0.5, data_range=1.0, size_average=False
         )
-        lp = _lpips(params_vgg, real, fake)
-        return l1, ssim_val, lp
+        return l1, ssim_val
 
     def g_loss_fn(train_params, state: TrainState, batch, rng):
         # MUST run inside the differentiated function: stop_gradient on
@@ -198,11 +229,11 @@ def make_train_step(
         )
         factor = batch["factor"].astype(jnp.float32)
 
-        l1_raw, ssim_raw, lp_raw = recon_terms(
-            real_raw, out["image_raw"], state.params_vgg
-        )
-        l1_full, ssim_full, lp_full = recon_terms(
-            real_img, out["image"], state.params_vgg
+        l1_raw, ssim_raw = recon_terms(real_raw, out["image_raw"])
+        l1_full, ssim_full = recon_terms(real_img, out["image"])
+        lp_raw, lp_full = lpips_pair_terms(
+            state.params_vgg, real_raw, out["image_raw"],
+            real_img, out["image"]
         )
         recon = L.masked_mean(
             l1_raw + ssim_raw + lp_raw + l1_full + ssim_full + lp_full, factor

@@ -74,6 +74,48 @@ def test_lpips_distance_properties():
     assert np.all(np.asarray(d_ab) > 0)
 
 
+def test_lpips_training_distance_matches_and_grads():
+    """lpips_training_distance == lpips_distance in value, and its grad
+    w.r.t. the PREDICTION equals the fused form's (the target side is
+    constant either way; the training variant just never builds its conv
+    backward — losses.lpips_embed docstring)."""
+    from gnerf_tpu.training import lpips_training_distance
+
+    vgg = VGG16LPIPS(resize_to=64)
+    p = vgg.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(2)
+    tgt = jnp.asarray(rng.rand(2, 3, 32, 32).astype(np.float32) * 2 - 1)
+    pred = jnp.asarray(rng.rand(2, 3, 32, 32).astype(np.float32) * 2 - 1)
+    d_fused = lpips_distance(vgg, p, tgt, pred)
+    d_split = lpips_training_distance(vgg, p, tgt, pred)
+    np.testing.assert_allclose(np.asarray(d_split), np.asarray(d_fused),
+                               rtol=1e-5, atol=1e-6)
+    g_fused = jax.grad(lambda x: lpips_distance(vgg, p, tgt, x).sum())(pred)
+    g_split = jax.grad(
+        lambda x: lpips_training_distance(vgg, p, tgt, x).sum())(pred)
+    np.testing.assert_allclose(np.asarray(g_split), np.asarray(g_fused),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_lpips_pre_resize_commutes():
+    """The train step hoists vgg.apply's internal resize out (to batch the
+    raw/full tiers): resizing before the 0..255 affine must equal the
+    internal resize-after path (bilinear weights sum to 1, so the affine
+    commutes)."""
+    from gnerf_tpu.ops.interpolate import interpolate_bilinear
+    from gnerf_tpu.training import lpips_embed
+
+    vgg = VGG16LPIPS(resize_to=64)
+    p = vgg.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 3, 32, 32).astype(np.float32) * 2 - 1)
+    internal = lpips_embed(vgg, p, x)  # apply resizes 32 -> 64 itself
+    pre = interpolate_bilinear(x, 64, 64, antialias=vgg.antialias)
+    external = lpips_embed(vgg, p, pre)
+    np.testing.assert_allclose(np.asarray(external), np.asarray(internal),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_masked_mean():
     v = jnp.asarray([1.0, 2.0, 3.0, 4.0])
     f = jnp.asarray([1.0, 0.0, 1.0, 0.0])

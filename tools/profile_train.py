@@ -64,6 +64,10 @@ def main():
     ap.add_argument("--synth-split", action="store_true",
                     help="finer synthesis attribution (coarse pass, packed "
                          "gather f+b, remat ablations)")
+    ap.add_argument("--lpips_ab", action="store_true",
+                    help="also time the sep (r4) and fused (one-batch "
+                         "concat) LPIPS structural forms next to the "
+                         "production split form")
     ap.add_argument("--skip-encoder-split", action="store_true",
                     help="skip the per-stage encoder rows (6 extra compiles)")
     args = ap.parse_args()
@@ -204,15 +208,69 @@ def main():
 
         return jnp.sum(jnp.square(jax.grad(f)(feat).astype(jnp.float32)))
 
-    # --- LPIPS at both scales -------------------------------------------
-    @jax.jit
-    def lpips_fb(params_vgg, fake_full, fake_raw):
-        def f(a, b):
-            return (L.lpips_distance(vgg, params_vgg, real_img, a).sum()
-                    + L.lpips_distance(vgg, params_vgg, real_raw, b).sum())
+    # --- LPIPS at both scales: the three structural forms ---------------
+    # All three compute identical values; they differ in how much VGG
+    # conv work the VJP + remat re-forward do (r5, BASELINE.md LPIPS row):
+    #   sep    r3/r4 production — one remat'd distance per tier, two
+    #          batch-N passes each; the constant real side's backward is
+    #          DCE'd but its forward is still re-run by remat
+    #   fused  the one-batch [real; fake] concat — fuller early-conv
+    #          matmuls, but conv backward + remat re-forward now run over
+    #          the constant half too (can't DCE half a conv batch)
+    #   split  current production (train_loop.lpips_pair_terms) — 2N
+    #          targets in ONE un-remat'd fwd-only pass + 2N fakes in ONE
+    #          remat'd differentiated pass
+    from gnerf_tpu.ops.interpolate import interpolate_bilinear as _interp
 
-        ga, gb = jax.grad(f, argnums=(0, 1))(fake_full, fake_raw)
-        return jnp.sum(jnp.square(ga)) + jnp.sum(jnp.square(gb))
+    def _to_vgg(x):
+        x = x.astype(cfg.dtype)
+        if x.shape[-1] != vgg.resize_to:
+            x = _interp(x, vgg.resize_to, vgg.resize_to,
+                        antialias=vgg.antialias)
+        return x
+
+    def _dist(emb_t, emb_f):
+        return jnp.sum(jnp.square((emb_t - emb_f).astype(jnp.float32)))
+
+    def _sep_tier(pv, real, fake):
+        fa = L.lpips_embed(vgg, pv, real.astype(cfg.dtype))
+        fb = L.lpips_embed(vgg, pv, fake.astype(cfg.dtype))
+        return _dist(fa, fb)
+
+    _sep_tier_r = jax.checkpoint(_sep_tier)
+
+    def _fused_tier(pv, real, fake):
+        return L.lpips_distance(vgg, pv, real.astype(cfg.dtype),
+                                fake.astype(cfg.dtype)).sum()
+
+    _fused_tier_r = jax.checkpoint(_fused_tier)
+
+    _embed = lambda pv, x: L.lpips_embed(vgg, pv, x)
+    _embed_r = jax.checkpoint(_embed)
+
+    def _split_pair(pv, a, b):
+        tgt = jnp.concatenate([_to_vgg(real_img), _to_vgg(real_raw)], axis=0)
+        fak = jnp.concatenate([_to_vgg(a), _to_vgg(b)], axis=0)
+        emb_t = jax.lax.stop_gradient(_embed(pv, tgt))
+        emb_f = _embed_r(pv, fak)
+        return _dist(emb_t, emb_f)
+
+    def _lpips_variant(form):
+        def f(a, b):
+            if form == "sep":
+                return (_sep_tier_r(state.params_vgg, real_img, a)
+                        + _sep_tier_r(state.params_vgg, real_raw, b))
+            if form == "fused":
+                return (_fused_tier_r(state.params_vgg, real_img, a)
+                        + _fused_tier_r(state.params_vgg, real_raw, b))
+            return _split_pair(state.params_vgg, a, b)
+
+        @jax.jit
+        def fb(fake_full, fake_raw):
+            ga, gb = jax.grad(f, argnums=(0, 1))(fake_full, fake_raw)
+            return jnp.sum(jnp.square(ga)) + jnp.sum(jnp.square(gb))
+
+        return fb
 
     # --- full synthesis f+b ---------------------------------------------
     @jax.jit
@@ -235,8 +293,15 @@ def main():
         print(f"(stage split unavailable: {err})")
     fake_full = real_img + 0.01
     fake_raw = real_raw + 0.01
-    results["lpips_fwd_bwd"] = timed(lpips_fb, state.params_vgg, fake_full,
+    results["lpips_fwd_bwd"] = timed(_lpips_variant("split"), fake_full,
                                      fake_raw, reps=args.reps)
+    if args.lpips_ab:
+        results["lpips_fwd_bwd_sep"] = timed(_lpips_variant("sep"),
+                                             fake_full, fake_raw,
+                                             reps=args.reps)
+        results["lpips_fwd_bwd_fused"] = timed(_lpips_variant("fused"),
+                                               fake_full, fake_raw,
+                                               reps=args.reps)
     results["synthesis_fwd_bwd"] = timed(
         synth_fb, state.params_g, z0, loss_c, jax.random.PRNGKey(2),
         reps=args.reps)

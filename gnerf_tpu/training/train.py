@@ -168,7 +168,8 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        neural_rendering_resolution_final=None,
                        neural_rendering_resolution_fade_kimg=1000.0,
                        style_mixing_prob=0.0, resume="", dtype="fp32",
-                       density_reg_every=4, d_reg_interval=16, chain=1):
+                       density_reg_every=4, d_reg_interval=16, chain=1,
+                       snap=50):
     """EG3D adversarial pretraining (z, c) -> image — the stage that
     produces the generator G-NeRF fine-tunes (reference loss.py spec,
     implemented live in eg3d_loss.py).
@@ -550,12 +551,22 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                 # Disk-full tolerance (reference `training_loop.py:562-564`).
                 try:
                     host = jax.device_get(state)
+                    trees = {"G_ema": host["params_g_ema"],
+                             "G": host["params_g"], "D": host["params_d"]}
                     ckpt_lib.save_checkpoint(
                         os.path.join(run_dir, "network-snapshot-latest.npz"),
-                        {"G_ema": host["params_g_ema"], "G": host["params_g"],
-                         "D": host["params_d"]},
-                        config=options,
+                        trees, config=options,
                     )
+                    # Periodic history snapshots (reference
+                    # `network-snapshot-{kimg}.pkl` cadence,
+                    # training_loop.py:503): same host tree, extra disk only.
+                    if snap > 0 and tick_idx % snap == 0:
+                        ckpt_lib.save_checkpoint(
+                            os.path.join(
+                                run_dir,
+                                f"network-snapshot-{cur_nimg // 1000:06d}.npz"),
+                            trees, config=options,
+                        )
                     save_train_state(
                         os.path.join(run_dir, "training-state-latest.npz"),
                         state, config={**options, "aug_p_live": cur_aug_p})
@@ -786,6 +797,7 @@ def run_training(
             density_reg_every=density_reg_every,
             d_reg_interval=d_reg_interval,
             chain=chain,
+            snap=snap,
         )
 
     # Dataset.

@@ -818,3 +818,27 @@ def make_chained_eg3d_cycle(main_step, greg_step, dreg_step,
         return st, p, stacked
 
     return cycle
+
+
+def make_dreg_dslice(dreg_step) -> Callable:
+    """D-slice wrapper for the lazy Dreg phase: R1 reads/updates ONLY
+    {params_d, opt_state_d} (+ cur_nimg for the gamma schedule) — no
+    generator state at all — so a Dreg dispatch can take and return just
+    the D slice (~quarter of the full train state). Exists for chained
+    dispatch through the relay: with the Dreg phase outside the K-step
+    cycle (see train.py --chain_dreg_split), returning the full state per
+    due Dreg would triple the per-chain staging; the slice keeps it ~25%.
+
+    Call: f(params_d, opt_state_d, cur_nimg, batch, rng, blur_sigma,
+    aug_p, *, blur_size, res) -> (params_d, opt_state_d, stats); jit with
+    donate_argnums=(0, 1)."""
+
+    def f(params_d, opt_state_d, cur_nimg, batch, rng, blur_sigma=0.0,
+          aug_p=0.0, *, blur_size: int = 0, res: Optional[int] = None):
+        mini = {"params_d": params_d, "opt_state_d": opt_state_d,
+                "cur_nimg": cur_nimg}
+        new, stats = dreg_step(mini, batch, rng, blur_sigma, aug_p,
+                               blur_size=blur_size, res=res)
+        return new["params_d"], new["opt_state_d"], stats
+
+    return f

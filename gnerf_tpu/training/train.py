@@ -169,7 +169,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                        neural_rendering_resolution_fade_kimg=1000.0,
                        style_mixing_prob=0.0, resume="", dtype="fp32",
                        density_reg_every=4, d_reg_interval=16, chain=1,
-                       snap=50):
+                       snap=50, chain_dreg_split=False):
     """EG3D adversarial pretraining (z, c) -> image — the stage that
     produces the generator G-NeRF fine-tunes (reference loss.py spec,
     implemented live in eg3d_loss.py).
@@ -372,6 +372,32 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         "real_c": NamedSharding(mesh, P(None, "data", None)),
     }
     _cycles: dict = {}
+    _dslices: dict = {}
+    # --chain_dreg_split: keep the R1 phase OUT of the cycle program and
+    # dispatch it separately at its due positions, returning only the D
+    # slice (make_dreg_dslice). The in-cycle lax.cond(Dreg) form is the
+    # cheaper dispatch shape but its program has crashed this
+    # environment's TPU worker at flagship ADA scale — see CLAUDE.md r5.
+    split_dreg = bool(chain_dreg_split) and dreg_fn is not None
+
+    def dreg_slice_step(state, batch_i, rng, nimg_i, sigma, p, size, res):
+        import functools
+
+        if (size, res) not in _dslices:
+            from .eg3d_loss import make_dreg_dslice
+
+            _dslices[(size, res)] = jax.jit(
+                functools.partial(make_dreg_dslice(dreg_fn),
+                                  blur_size=size, res=res),
+                in_shardings=(repl, repl, repl, batch_sh, repl, repl, repl),
+                out_shardings=(repl, repl, repl), donate_argnums=(0, 1))
+        pd, od, dstats = _dslices[(size, res)](
+            state["params_d"], state["opt_state_d"],
+            jax.device_put(jnp.int32(nimg_i), repl), batch_i,
+            jax.device_put(rng, repl),
+            jax.device_put(jnp.float32(max(sigma, 1e-8)), repl),
+            jax.device_put(jnp.float32(p), repl))
+        return dict(state, params_d=pd, opt_state_d=od), dstats
 
     def cycle_step(state, gan_batches, rngs, g_due, d_due, sigmas, p0,
                    size, res):
@@ -383,12 +409,14 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
         if (size, res) not in _cycles:
             from .eg3d_loss import make_chained_eg3d_cycle
 
-            fn = make_chained_eg3d_cycle(main_fn, greg_fn, dreg_fn, cfg,
-                                         blur_size=size, res=res)
+            fn = make_chained_eg3d_cycle(
+                main_fn, greg_fn, None if split_dreg else dreg_fn, cfg,
+                blur_size=size, res=res)
+            donate = () if os.environ.get("GNERF_CHAIN_NO_DONATE") else (0,)
             _cycles[(size, res)] = jax.jit(
                 fn,
                 in_shardings=(repl, chain_sh, repl, repl, repl, repl, repl),
-                out_shardings=(repl, repl, repl), donate_argnums=(0,))
+                out_shardings=(repl, repl, repl), donate_argnums=donate)
         return _cycles[(size, res)](state, gan_batches, rngs, g_due, d_due,
                                     sigmas, p0)
 
@@ -473,6 +501,7 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
             }
             size = blur_kernel_size(blur_sigma_schedule(cur_nimg, cfg))
             res0 = neural_resolution_schedule(cur_nimg, cfg)
+            p_before = cur_aug_p
             state, p_final, stats = cycle_step(
                 state, gan_batches,
                 jax.device_put(jnp.stack(ks_list), repl),
@@ -481,9 +510,36 @@ def _run_eg3d_training(g, rendering_kwargs, img_resolution, dataset_name,
                 jax.device_put(jnp.asarray(sig_list, jnp.float32), repl),
                 jax.device_put(jnp.float32(cur_aug_p), repl), size, res0)
             cur_aug_p = float(np.asarray(jax.device_get(p_final)))
+            base_nimg = cur_nimg
             cur_nimg += batch * chain
             step_idx += chain
             stats = jax.device_get(stats)
+            if split_dreg:
+                # Due Dreg positions run AFTER the chain (deviation from
+                # the interleaved order, bounded by the chain length —
+                # same class as the blur-bucket quantization above), each
+                # with the pre-step p the interleaved form would have used
+                # (the cycle's per-step p trace).
+                p_trace = np.asarray(stats["Progress/augment"])
+                for i in range(chain):
+                    if not d_due[i]:
+                        continue
+                    img_i = imgs[i]
+                    if img_i.dtype == np.uint8:
+                        img_i = np.asarray(img_i, np.float32) / 127.5 - 1.0
+                    batch_i = {
+                        "z": put_batch(zs[i], dsh2),
+                        "c": put_batch(cs[i], dsh2),
+                        "real_image": put_batch(img_i, dsh4),
+                        "real_c": put_batch(cs[i], dsh2),
+                    }
+                    p_pre = float(p_trace[i - 1]) if i > 0 else p_before
+                    state, dstats = dreg_slice_step(
+                        state, batch_i, jax.random.fold_in(ks_list[i], 2),
+                        base_nimg + i * batch, sig_list[i], p_pre,
+                        size, res0)
+                    for name, value in dstats.items():
+                        collector.report(name, value)
             for name, value in stats.items():
                 value = np.asarray(value)
                 # Reg stats are zero-filled at not-due scan positions —
@@ -652,6 +708,7 @@ def run_training(
     density_reg_every: int = 4,
     d_reg_interval: int = 16,
     chain: int = 1,
+    chain_dreg_split: bool = False,
 ):
     from ..models import Discriminator, ResNeXt50Encoder, TriPlaneGenerator
     from ..models.triplane import DEFAULT_RENDERING_KWARGS
@@ -798,6 +855,7 @@ def run_training(
             d_reg_interval=d_reg_interval,
             chain=chain,
             snap=snap,
+            chain_dreg_split=chain_dreg_split,
         )
 
     # Dataset.
@@ -1141,6 +1199,13 @@ def run_training(
                    "can overshoot the target by up to (chain-1)*batch images "
                    "(kept: a shorter tail chain would recompile the step, "
                    "which costs minutes through the relay).")
+@click.option("--chain_dreg_split", type=bool, default=False,
+              help="EG3D --chain form: dispatch the lazy R1 (Dreg) phase "
+                   "as its own D-slice program at its due positions "
+                   "instead of a lax.cond inside the cycle (the cond form "
+                   "has crashed this environment's TPU worker at flagship "
+                   "ADA scale). Returns only {params_d, opt_state_d}, so "
+                   "the extra staging is ~25% of a full state return.")
 @click.option("--ada_kimg", type=float, default=500.0,
               help="ADA controller sweep speed: kimg for a full 0->1 p "
                    "traversal (upstream ADA heuristic constant; lower = "

@@ -227,3 +227,41 @@ def test_chained_cycle_uint8_equals_prenormalized():
         # consumers, changing rounding (measured max 3e-9 abs at K=2).
         np.testing.assert_allclose(np.asarray(rl), np.asarray(cl),
                                    rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_dreg_dslice_matches_full_dreg():
+    """make_dreg_dslice == the full dreg_step on the D slice (the
+    --chain_dreg_split dispatch form): same params_d/opt_state_d update,
+    G state untouched by construction."""
+    from gnerf_tpu.training.eg3d_loss import (
+        init_eg3d_state,
+        make_dreg_dslice,
+        make_eg3d_phase_steps,
+    )
+
+    g, disc, cfg = _tiny_setup(aug="ada")
+    main_fn, greg_fn, dreg_fn, opt_g, opt_d = make_eg3d_phase_steps(
+        g, disc, cfg)
+    state0 = init_eg3d_state(g, disc, opt_g, opt_d, jax.random.PRNGKey(0))
+    b = {k: (v[0].astype(jnp.float32) / 127.5 - 1.0
+             if v.dtype == jnp.uint8 else v[0])
+         for k, v in _batches(1).items()}
+    rng = jax.random.PRNGKey(11)
+    full, _ = jax.jit(dreg_fn, static_argnames=("blur_size", "res"))(
+        jax.tree_util.tree_map(jnp.copy, state0), b, rng,
+        jnp.float32(1e-8), jnp.float32(0.3), blur_size=0, res=8)
+    dslice = jax.jit(make_dreg_dslice(dreg_fn),
+                     static_argnames=("blur_size", "res"))
+    pd, od, stats = dslice(
+        jax.tree_util.tree_map(jnp.copy, state0["params_d"]),
+        jax.tree_util.tree_map(jnp.copy, state0["opt_state_d"]),
+        state0["cur_nimg"], b, rng, jnp.float32(1e-8), jnp.float32(0.3),
+        blur_size=0, res=8)
+    assert np.isfinite(float(stats["Loss/D/reg"]))
+    for rl, cl in zip(jax.tree_util.tree_leaves(full["params_d"]),
+                      jax.tree_util.tree_leaves(pd)):
+        np.testing.assert_array_equal(np.asarray(rl), np.asarray(cl))
+    for rl, cl in zip(jax.tree_util.tree_leaves(full["opt_state_d"]),
+                      jax.tree_util.tree_leaves(od)):
+        np.testing.assert_array_equal(np.asarray(rl), np.asarray(cl))

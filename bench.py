@@ -278,7 +278,15 @@ def main():
         raise RuntimeError("all 96-spp chunk configs exhausted memory")
     r48 = None
     if not args.skip_48:
-        r48 = measure(g, params, planes, ws, cs, z, c0, n_frames,
+        g48 = g
+        if not args.sample_merge:
+            # Per-tier merge policy (measured r5, BASELINE.md): the
+            # sort-free 'weights' merge wins the 48-spp tier (+3.3%,
+            # 75.4 -> 77.9 f/s) but cannot compile the 96-spp
+            # (fpb=15, unroll) headline program — headline keeps 'hybrid'.
+            g48 = dataclasses.replace(g, rendering_kwargs=dict(
+                g.rendering_kwargs, sample_merge="weights"))
+        r48 = measure(g48, params, planes, ws, cs, z, c0, n_frames,
                       args.fpb48, dtype, with_stages=False)
 
     fps = r96["fps"]
